@@ -1,0 +1,244 @@
+"""Numeric tests for schedules and samplers.
+
+The PNDM scan formulation is validated against an independent *stateful* PLMS
+implementation written directly from the published algorithm (counter, rolling epsilon
+list, stashed cur_sample) — the same semantics the reference's diffusers scheduler
+executes at `/root/reference/DiFashion/models/difashion.py:569`.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difashion_tpu.core.config import SchedulerConfig
+from difashion_tpu.diffusion import (
+    DiffusionSchedule,
+    ddim_step,
+    leading_timesteps,
+    make_ddim_plan,
+    make_pndm_plan,
+    pndm_init_state,
+    pndm_step,
+)
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return DiffusionSchedule.create(SchedulerConfig())
+
+
+# ---------------------------------------------------------------------------
+# Schedule tables
+# ---------------------------------------------------------------------------
+
+def test_betas_scaled_linear(sched):
+    assert sched.betas.shape == (1000,)
+    np.testing.assert_allclose(sched.betas[0], 0.00085, rtol=1e-6)
+    np.testing.assert_allclose(sched.betas[-1], 0.012, rtol=1e-6)
+    # monotone increasing
+    assert np.all(np.diff(sched.betas) > 0)
+    # alphas_cumprod decreasing in (0, 1)
+    assert np.all(np.diff(sched.alphas_cumprod) < 0)
+    assert 0 < sched.alphas_cumprod[-1] < sched.alphas_cumprod[0] < 1
+
+
+def test_add_noise_closed_form(sched):
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (3, 8, 8, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 8, 4))
+    t = jnp.array([0, 500, 999])
+    noisy = sched.add_noise(x0, noise, t)
+    for i, ti in enumerate([0, 500, 999]):
+        acp = sched.alphas_cumprod[ti]
+        expect = np.sqrt(acp) * x0[i] + np.sqrt(1 - acp) * noise[i]
+        np.testing.assert_allclose(noisy[i], expect, rtol=1e-5, atol=1e-6)
+
+
+def test_snr_and_min_snr_weights(sched):
+    t = jnp.array([10, 500, 990])
+    snr = np.asarray(sched.snr(t))
+    acp = sched.alphas_cumprod[np.array([10, 500, 990])]
+    np.testing.assert_allclose(snr, acp / (1 - acp), rtol=1e-5)
+    w = np.asarray(sched.min_snr_weights(t, gamma=5.0))
+    np.testing.assert_allclose(w, np.minimum(snr, 5.0) / snr, rtol=1e-5)
+    # early timesteps have huge SNR -> weight gamma/snr < 1; late ones -> 1
+    assert w[0] < 1.0 and w[2] == pytest.approx(1.0)
+
+
+def test_velocity_identity(sched):
+    # v = sqrt(acp) eps - sqrt(1-acp) x0; check add_noise/velocity are consistent:
+    # x_t = sqrt(acp) x0 + sqrt(1-acp) eps  =>  sqrt(acp) x_t - ... standard identity:
+    # x0 = sqrt(acp) x_t - sqrt(1-acp) v
+    key = jax.random.PRNGKey(2)
+    x0 = jax.random.normal(key, (2, 4, 4, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 4))
+    t = jnp.array([123, 777])
+    xt = sched.add_noise(x0, eps, t)
+    v = sched.get_velocity(x0, eps, t)
+    acp = sched.alphas_cumprod[np.array([123, 777])].reshape(2, 1, 1, 1)
+    x0_rec = np.sqrt(acp) * np.asarray(xt) - np.sqrt(1 - acp) * np.asarray(v)
+    np.testing.assert_allclose(x0_rec, x0, rtol=1e-4, atol=1e-5)
+
+
+def test_pred_original_from_epsilon(sched):
+    x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(4), (2, 4, 4, 4)) * 0.3, -1, 1)
+    eps = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 4, 4))
+    t = jnp.array([321, 654])
+    xt = sched.add_noise(x0, eps, t)
+    rec = sched.pred_original_from_epsilon(t, xt, eps)
+    np.testing.assert_allclose(rec, x0, rtol=1e-4, atol=1e-4)
+
+
+def test_leading_timesteps():
+    ts = leading_timesteps(1000, 50, 1)
+    assert ts[0] == 1 and ts[-1] == 981 and len(ts) == 50
+    assert np.all(np.diff(ts) == 20)
+
+
+# ---------------------------------------------------------------------------
+# Stateful clean-room PLMS reference (for validating the scan plan)
+# ---------------------------------------------------------------------------
+
+class StatefulPLMS:
+    """Direct transcription of the published PLMS algorithm (skip_prk_steps=True)."""
+
+    def __init__(self, sched: DiffusionSchedule, n: int):
+        self.s = sched
+        self.n = n
+        self.ratio = sched.num_train_timesteps // n
+        base = leading_timesteps(sched.num_train_timesteps, n, sched.steps_offset)
+        self.timesteps = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1].copy()
+        self.ets = []
+        self.counter = 0
+        self.cur_sample = None
+
+    def _acp(self, t):
+        return self.s.alphas_cumprod[t] if t >= 0 else self.s.final_alpha_cumprod
+
+    def step(self, model_output, timestep, sample):
+        t = int(timestep)
+        prev_t = t - self.ratio
+        if self.counter != 1:
+            self.ets = self.ets[-3:]
+            self.ets.append(model_output)
+        else:
+            prev_t = t
+            t = t + self.ratio
+        if len(self.ets) == 1 and self.counter == 0:
+            mo = model_output
+            self.cur_sample = sample
+        elif len(self.ets) == 1 and self.counter == 1:
+            mo = (model_output + self.ets[-1]) / 2
+            sample = self.cur_sample
+        elif len(self.ets) == 2:
+            mo = (3 * self.ets[-1] - self.ets[-2]) / 2
+        elif len(self.ets) == 3:
+            mo = (23 * self.ets[-1] - 16 * self.ets[-2] + 5 * self.ets[-3]) / 12
+        else:
+            mo = (1 / 24) * (
+                55 * self.ets[-1] - 59 * self.ets[-2]
+                + 37 * self.ets[-3] - 9 * self.ets[-4]
+            )
+        a_t = self._acp(t)
+        a_prev = self._acp(prev_t)
+        coeff = (a_prev / a_t) ** 0.5
+        denom = a_t * (1 - a_prev) ** 0.5 + (a_t * (1 - a_t) * a_prev) ** 0.5
+        prev_sample = coeff * sample - (a_prev - a_t) * mo / denom
+        self.counter += 1
+        return prev_sample
+
+
+def _fake_model(x, t):
+    """Deterministic pseudo-UNet: epsilon depends on x and t nontrivially."""
+    return np.tanh(x * 0.3 + np.float32(t) / 1000.0) * 1.1
+
+
+@pytest.mark.parametrize("n_steps", [5, 20, 50])
+def test_pndm_plan_matches_stateful_reference(sched, n_steps):
+    shape = (2, 4, 4, 4)
+    rng = np.random.RandomState(0)
+    x_ref = rng.randn(*shape).astype(np.float32)
+    x_scan = jnp.asarray(x_ref)
+
+    ref = StatefulPLMS(sched, n_steps)
+    plan = make_pndm_plan(sched, n_steps)
+    assert len(plan) == n_steps + 1
+    np.testing.assert_array_equal(plan.t_unet, ref.timesteps)
+
+    state = pndm_init_state(shape)
+    rows = plan.rows()
+    for i in range(len(plan)):
+        t = int(plan.t_unet[i])
+        eps = _fake_model(np.asarray(x_scan), t)
+        row = {k: v[i] for k, v in rows.items()}
+        state, x_scan = pndm_step(state, row, jnp.asarray(eps), x_scan)
+
+        eps_ref = _fake_model(x_ref, t)
+        x_ref = ref.step(eps_ref, ref.timesteps[i], x_ref)
+        np.testing.assert_allclose(np.asarray(x_scan), x_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_pndm_scan_under_jit(sched):
+    """The whole sampler runs as one lax.scan under jit."""
+    n = 10
+    shape = (1, 4, 4, 4)
+    plan = make_pndm_plan(sched, n)
+    rows = plan.rows()
+    x0 = jnp.asarray(np.random.RandomState(1).randn(*shape).astype(np.float32))
+
+    @jax.jit
+    def sample(x):
+        def body(carry, row):
+            x, state = carry
+            eps = jnp.tanh(x * 0.3 + row["t_unet"].astype(jnp.float32) / 1000.0) * 1.1
+            state, x = pndm_step(state, row, eps, x)
+            return (x, state), None
+
+        (x, _), _ = jax.lax.scan(body, (x, pndm_init_state(shape)), rows)
+        return x
+
+    out = sample(x0)
+
+    # eager loop for comparison
+    x = x0
+    state = pndm_init_state(shape)
+    for i in range(len(plan)):
+        row = {k: v[i] for k, v in rows.items()}
+        eps = jnp.tanh(x * 0.3 + row["t_unet"].astype(jnp.float32) / 1000.0) * 1.1
+        state, x = pndm_step(state, row, eps, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# DDIM
+# ---------------------------------------------------------------------------
+
+def test_ddim_deterministic_recovers_x0_with_perfect_model(sched):
+    """With a model that returns the true epsilon, 1000-step DDIM is near-exact;
+    here: single big step from t to 0-ish must invert add_noise for eta=0."""
+    x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(7), (2, 4, 4, 4)) * 0.5, -1, 1)
+    eps = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 4, 4))
+    plan = make_ddim_plan(sched, 1)
+    t = int(plan.t_unet[0])
+    xt = sched.add_noise(x0, eps, jnp.array([t, t]))
+    row = {k: v[0] for k, v in plan.rows().items()}
+    out = ddim_step(row, eps, xt)
+    # alpha_prev = final_alpha_cumprod (t_prev < 0) => x_prev ~= sqrt(acp_0) x0 + small eps term
+    a_prev = plan.alpha_prev[0]
+    expect = np.sqrt(a_prev) * np.asarray(x0) + np.sqrt(1 - a_prev) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_plan_descending(sched):
+    plan = make_ddim_plan(sched, 20)
+    assert len(plan) == 20
+    assert np.all(np.diff(plan.t_unet) == -50)
+    assert plan.t_unet[0] == 951 and plan.t_unet[-1] == 1
+
+
+def test_ddim_eta_requires_noise(sched):
+    plan = make_ddim_plan(sched, 4)
+    row = {k: v[0] for k, v in plan.rows().items()}
+    x = jnp.zeros((1, 2, 2, 4))
+    with pytest.raises(ValueError):
+        ddim_step(row, x, x, eta=0.5, noise=None)
