@@ -1,0 +1,168 @@
+"""Attention modules: functional SDPA core with a Pallas flash-attention fast path,
+plus the SD transformer blocks (self + cross attention, GEGLU FF).
+
+Replaces the reference's xformers memory-efficient attention + diffusers Transformer2D
+(`/root/reference/DiFashion/models/difashion.py:109-120` and the UNet internals it loads
+at `:77-79`).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from difashion_tpu.nn.layers import FeedForward, GroupNorm
+from difashion_tpu.nn.pallas.flash_attention import flash_attention
+
+Dtype = Any
+
+# Flash attention engages for self-attention sequences at or above this length and only
+# on TPU backends; XLA's fused attention handles the small cases well.
+FLASH_MIN_SEQ = 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def sdpa(q, k, v, scale=None, mask=None, use_flash: Optional[bool] = None):
+    """Scaled dot-product attention over [B, H, S, D] tensors."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_flash is None:
+        use_flash = _on_tpu() and q.shape[2] >= FLASH_MIN_SEQ and mask is None
+    if use_flash:
+        return flash_attention(q, k, v, scale=scale)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention with optional cross-attention context (SD "Attention").
+
+    No-bias q/k/v projections + bias out projection, matching SD UNet attention layers.
+    """
+
+    query_dim: int
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        b, sq, _ = q.shape
+        skv = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, skv, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, skv, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        out = sdpa(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF, all residual (SD block)."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    context_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x.astype(jnp.float32))
+        x = x + CrossAttention(
+            self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
+        )(h.astype(self.dtype))
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32))
+        x = x + CrossAttention(
+            self.dim, self.heads, self.head_dim, context_dim=self.context_dim,
+            dtype=self.dtype, name="attn2",
+        )(h.astype(self.dtype), context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x.astype(jnp.float32))
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h.astype(self.dtype))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> proj_in -> N blocks -> proj_out -> +residual.
+
+    SD2 uses linear (not 1x1-conv) projections (`use_linear_projection=True`).
+    """
+
+    heads: int
+    head_dim: int
+    depth: int
+    context_dim: int
+    use_linear_projection: bool = True
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, hgt, wid, c = x.shape
+        residual = x
+        h = GroupNorm(self.norm_num_groups, 1e-6, dtype=self.dtype, name="norm")(x)
+        if self.use_linear_projection:
+            h = h.reshape(b, hgt * wid, c)
+            h = nn.Dense(self.heads * self.head_dim, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = nn.Conv(
+                self.heads * self.head_dim, (1, 1), dtype=self.dtype,
+                param_dtype=jnp.float32, name="proj_in",
+            )(h)
+            h = h.reshape(b, hgt * wid, self.heads * self.head_dim)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.heads * self.head_dim, self.heads, self.head_dim,
+                self.context_dim, dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(h, context)
+        if self.use_linear_projection:
+            h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(b, hgt, wid, c)
+        else:
+            h = h.reshape(b, hgt, wid, self.heads * self.head_dim)
+            h = nn.Conv(
+                c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="proj_out"
+            )(h)
+        return h + residual
+
+
+class VAEAttention(nn.Module):
+    """Single-head spatial self-attention used in the VAE mid-block (diffusers AttnBlock)."""
+
+    channels: int
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hgt, wid, c = x.shape
+        residual = x
+        h = GroupNorm(self.norm_num_groups, 1e-6, dtype=self.dtype, name="group_norm")(x)
+        h = h.reshape(b, hgt * wid, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(h)
+        out = sdpa(q[:, None], k[:, None], v[:, None], use_flash=False)[:, 0]
+        out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+        return out.reshape(b, hgt, wid, c) + residual

@@ -1,0 +1,193 @@
+"""NHWC neural-net primitives shared by the UNet / VAE / CLIP models.
+
+TPU-native counterparts of the reference's dependency-level torch modules (SURVEY.md §2b):
+convs lower to XLA (MXU), everything stays NHWC (the TPU-friendly layout, vs the
+reference's NCHW), params are fp32 with a configurable compute dtype (bf16 on TPU).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def get_timestep_embedding(
+    timesteps: jnp.ndarray,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: int = 10000,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, matching the SD UNet's time_proj semantics
+    (reference UNet consumes it inside diffusers; cited at
+    `/root/reference/DiFashion/models/difashion.py:249-253`)."""
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([jnp.cos(emb), jnp.sin(emb)], axis=-1)
+    else:
+        emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """time_proj -> Linear -> SiLU -> Linear (SD UNet time embedding MLP)."""
+
+    time_embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
+        x = nn.silu(x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with torch-compatible semantics (eps 1e-5/1e-6, affine)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Normalize in fp32 for stability, cast back to compute dtype.
+        orig_dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
+
+
+class Conv2d(nn.Module):
+    """3x3/1x1 NHWC conv wrapper with torch-style SAME-from-padding semantics."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Any = None  # None -> torch default ((k-1)//2); or explicit pad list
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        if self.padding is None:
+            p = (k - 1) // 2
+            padding = [(p, p), (p, p)]
+        else:
+            padding = self.padding
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(k, k),
+            strides=(self.strides, self.strides),
+            padding=padding,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ResnetBlock2D(nn.Module):
+    """SD ResNet block: GN-SiLU-conv + time-emb add + GN-SiLU-(dropout)-conv, residual.
+
+    Mirrors the behavior of diffusers ResnetBlock2D used throughout the reference UNet/VAE.
+    """
+
+    out_channels: int
+    use_time_emb: bool = True
+    dropout: float = 0.0
+    groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None, deterministic: bool = True):
+        in_channels = x.shape[-1]
+        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.silu(temb)
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(t)
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = Conv2d(self.out_channels, 1, dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """Stride-2 conv with asymmetric (0,1,0,1) padding (diffusers semantics)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
+        return Conv2d(
+            self.out_channels, 3, strides=2, padding=[(0, 0), (0, 0)],
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x upsample + 3x3 conv."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv")(x)
+
+
+class GEGLU(nn.Module):
+    """GEGLU feed-forward gate used by SD transformer blocks."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """SD transformer FF: GEGLU(d -> 4d) -> Dropout -> Linear(4d -> d)."""
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
