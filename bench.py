@@ -1,0 +1,129 @@
+"""Benchmark: outfit-image generation throughput on the north-star config.
+
+Measures GOR-style joint generation — one outfit, 4 items denoised in lockstep with the
+full 4-branch CFG (category 12.0 / mutual 5.0 / history 4.0), eta=0.1, 512px, 50-step
+PNDM — on the full SD2-base-scale DiFashion stack (bf16 UNet/VAE compute), i.e. the
+configuration pinned by the reference recipes (`/root/reference/DiFashion/run_inf4eval.sh`,
+`train.py:161-180`). Random weights; throughput is weight-independent.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the denominator is
+an *estimated* PyTorch+xformers A100 fp16 throughput for the same workload: 51 UNet
+forwards x 16-batch (4 CFG branches x 4 items) at ~0.75 TFLOPs/forward-image, A100 at a
+typical 40% fp16 utilization => ~0.55 outfit-images/sec. Recorded as an estimate until a
+GPU measurement exists (see BASELINE.md).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ESTIMATED_REF_IMAGES_PER_SEC = 0.55  # PyTorch+xformers A100 fp16 estimate (see module doc)
+
+
+def main():
+    from difashion_tpu.core.config import ModelConfig
+    from difashion_tpu.engine import (
+        GenerationInputs,
+        build_sampler,
+        decode_and_postprocess,
+        make_guidance_spec,
+    )
+    from difashion_tpu.models.clip_text import CLIPTextEncoder
+    from difashion_tpu.models.mutual import MutualEncoder
+    from difashion_tpu.models.unet import UNet2DCondition
+    from difashion_tpu.models.vae import AutoencoderKL
+    from difashion_tpu.models.difashion import DiFashionModel
+    from difashion_tpu.diffusion.schedule import DiffusionSchedule
+
+    cfg = ModelConfig.sd2_base()
+    dtype = jnp.bfloat16
+
+    unet = UNet2DCondition(cfg.unet, dtype=dtype)
+    vae = AutoencoderKL(cfg.vae, dtype=dtype)
+    text = CLIPTextEncoder(cfg.text, dtype=dtype)
+    mutual = MutualEncoder(cfg.mutual, dtype=dtype)
+
+    # Initialize params on-device (jitted init: one compile, no host->device weight push)
+    s, c_in, xd = cfg.unet.sample_size, cfg.unet.in_channels, cfg.text.hidden_size
+    unet_params = jax.jit(unet.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, s, s, c_in), dtype), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, cfg.unet.cross_attention_dim), dtype),
+    )["params"]
+    vae_params = jax.jit(vae.init)(
+        {"params": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 512, 512, 3), dtype), jax.random.PRNGKey(0),
+    )["params"]
+    text_params = jax.jit(text.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, 77), jnp.int32)
+    )["params"]
+    mutual_params = jax.jit(mutual.init)(
+        jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 4))
+    )["params"]
+    params = {
+        "unet": unet_params, "vae": vae_params,
+        "text_encoder": text_params, "fashion_encoder": mutual_params,
+    }
+    model = DiFashionModel(
+        config=cfg, unet=unet, vae=vae, text_encoder=text,
+        fashion_encoder=mutual, schedule=DiffusionSchedule.create(cfg.scheduler),
+    )
+
+    # GOR: 1 outfit, all 4 slots generated -> F=4, UNet batch 16 per step
+    B, olen = 1, 4
+    F = B * olen
+    gen_mask = jnp.ones((B, olen), bool)
+    gen_index = jnp.arange(F, dtype=jnp.int32).reshape(B, olen)
+    outfit_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), olen)
+    key = jax.random.PRNGKey(42)
+    inputs = GenerationInputs(
+        init_latents=jax.random.normal(key, (F, 64, 64, 4)),
+        outfit_idx=outfit_idx,
+        known_latents=jnp.zeros((B, olen, 64, 64, 4)),
+        gen_mask=gen_mask,
+        gen_index=gen_index,
+        hist_latents=jnp.zeros((F, 64, 64, 4)),
+        cate_text=jax.jit(lambda p, i: text.apply({"params": p}, i))(
+            text_params, jnp.zeros((F, 77), jnp.int32)
+        ),
+        null_text=jax.jit(lambda p, i: text.apply({"params": p}, i))(
+            text_params, jnp.zeros((1, 77), jnp.int32)
+        )[0],
+        null_latent=jnp.zeros((64, 64, 4)),
+    )
+
+    spec = make_guidance_spec(12.0, 4.0, 5.0)
+    sampler = build_sampler(model, num_inference_steps=50, spec=spec, eta=0.1,
+                            scheduler="pndm")
+
+    def run(params, inputs):
+        lat = sampler(params, inputs)
+        return decode_and_postprocess(model, params, lat)
+
+    jitted = jax.jit(run)
+    imgs = jax.block_until_ready(jitted(params, inputs))  # compile + warmup
+    assert imgs.shape == (F, 512, 512, 3)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        imgs = jitted(params, inputs)
+    jax.block_until_ready(imgs)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    n_chips = jax.device_count()
+    images_per_sec_per_chip = F / dt / n_chips
+    print(json.dumps({
+        "metric": "outfit_images_per_sec_per_chip_512px_50step_pndm_4cfg",
+        "value": round(images_per_sec_per_chip, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec_per_chip / ESTIMATED_REF_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
