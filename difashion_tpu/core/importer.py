@@ -1,0 +1,245 @@
+"""HF-checkpoint <-> flax-pytree weight translation.
+
+The reference pulls SD2-base weights from the hub via diffusers/transformers
+`from_pretrained` (`/root/reference/DiFashion/models/difashion.py:63-79`) and widens the
+UNet conv_in 4->8 channels with zero-init extension (`difashion.py:82-93`). This module
+is the equivalent for the TPU build: it maps diffusers/transformers state dicts
+(safetensors or torch .bin) onto our NHWC flax param trees — conv OIHW->HWIO, linear
+transpose, norm weight->scale — and reproduces the conv_in extension when the source has
+4 input channels. The inverse direction (`export_*`) emits an HF-style state dict, used
+for checkpoint interchange and as a round-trip correctness test.
+
+Layout expectations (diffusers model dir):
+  unet/diffusion_pytorch_model.safetensors, vae/..., text_encoder/model.safetensors
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# state-dict IO
+# ---------------------------------------------------------------------------
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .safetensors or torch .bin/.pt state dict into numpy."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def find_weights_file(model_dir: str, subfolder: str) -> str:
+    d = os.path.join(model_dir, subfolder)
+    for name in (
+        "diffusion_pytorch_model.safetensors",
+        "model.safetensors",
+        "diffusion_pytorch_model.bin",
+        "pytorch_model.bin",
+    ):
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(f"no weights file under {d}")
+
+
+# ---------------------------------------------------------------------------
+# path translation (our flax path -> HF dotted key)
+# ---------------------------------------------------------------------------
+
+_BLOCK_RES = re.compile(r"^(down|up)_(\d+)_resnet_(\d+)$")
+_BLOCK_ATTN = re.compile(r"^(down|up)_(\d+)_attn_(\d+)$")
+_BLOCK_DOWN = re.compile(r"^down_(\d+)_downsample$")
+_BLOCK_UP = re.compile(r"^up_(\d+)_upsample$")
+_MID_RES = re.compile(r"^mid_resnet_(\d+)$")
+_TFB = re.compile(r"^transformer_blocks_(\d+)$")
+_LAYERS = re.compile(r"^layers_(\d+)$")
+
+
+def _translate_segment(seg: str, kind: str) -> str:
+    m = _BLOCK_RES.match(seg)
+    if m:
+        return f"{m.group(1)}_blocks.{m.group(2)}.resnets.{m.group(3)}"
+    m = _BLOCK_ATTN.match(seg)
+    if m:
+        return f"{m.group(1)}_blocks.{m.group(2)}.attentions.{m.group(3)}"
+    m = _BLOCK_DOWN.match(seg)
+    if m:
+        return f"down_blocks.{m.group(1)}.downsamplers.0"
+    m = _BLOCK_UP.match(seg)
+    if m:
+        return f"up_blocks.{m.group(1)}.upsamplers.0"
+    m = _MID_RES.match(seg)
+    if m:
+        return f"mid_block.resnets.{m.group(1)}"
+    if seg == "mid_attn":
+        return "mid_block.attentions.0"
+    m = _TFB.match(seg)
+    if m:
+        return f"transformer_blocks.{m.group(1)}"
+    m = _LAYERS.match(seg)
+    if m:
+        return f"encoder.layers.{m.group(1)}"
+    if seg == "to_out_0":
+        return "to_out.0"
+    if seg == "net_0":
+        return "net.0"
+    if seg == "net_2":
+        return "net.2"
+    if seg in ("Conv_0", "GroupNorm_0"):
+        return ""  # wrapper modules are transparent in HF naming
+    if kind == "text" and seg == "token_embedding":
+        return "embeddings.token_embedding"
+    if kind == "text" and seg == "position_embedding":
+        return "embeddings.position_embedding"
+    if kind == "text" and seg in ("fc1", "fc2"):
+        return "mlp." + seg
+    if kind == "mutual" and seg == "mlp_0":
+        return "mlp.0"
+    if kind == "mutual" and seg == "mlp_3":
+        return "mlp.3"
+    return seg
+
+
+def flax_path_to_hf_key(path: Tuple[str, ...], kind: str) -> str:
+    """('down_0_resnet_1', 'conv1', 'Conv_0', 'kernel') -> 'down_blocks.0.resnets.1.conv1.weight'."""
+    *mods, leaf = path
+    segs = [_translate_segment(s, kind) for s in mods]
+    segs = [s for s in segs if s]
+    if leaf in ("kernel", "scale", "embedding"):
+        hf_leaf = "weight"
+    elif leaf == "bias":
+        hf_leaf = "bias"
+    else:
+        raise KeyError(f"unknown leaf {leaf!r} at {path}")
+    prefix = "text_model." if kind == "text" else ""
+    return prefix + ".".join(segs + [hf_leaf])
+
+
+def _to_flax(value: np.ndarray, leaf: str) -> np.ndarray:
+    if leaf == "kernel":
+        if value.ndim == 4:      # OIHW -> HWIO
+            return np.transpose(value, (2, 3, 1, 0))
+        if value.ndim == 2:      # [out, in] -> [in, out]
+            return value.T
+    return value
+
+
+def _to_hf(value: np.ndarray, leaf: str) -> np.ndarray:
+    if leaf == "kernel":
+        if value.ndim == 4:      # HWIO -> OIHW
+            return np.transpose(value, (3, 2, 0, 1))
+        if value.ndim == 2:
+            return value.T
+    return value
+
+
+# VAE attention: old diffusers checkpoints use query/key/value/proj_attn
+_VAE_ATTN_ALIASES = {
+    "to_q": "query", "to_k": "key", "to_v": "value", "to_out.0": "proj_attn",
+}
+
+
+def import_params(template, state_dict: Dict[str, np.ndarray], kind: str,
+                  strict: bool = True):
+    """Fill a flax param tree (template gives structure/shapes) from an HF state dict."""
+    import jax.tree_util as jtu
+
+    flat = jtu.tree_flatten_with_path(template)[0]
+    out = {}
+    used = set()
+    missing = []
+    for path_keys, leaf_val in flat:
+        path = tuple(str(k.key) for k in path_keys)
+        leaf = path[-1]
+        if kind == "mutual" and path[0] == "category_embedding":
+            key = "category_embedding.weight"
+            path_for_key = None
+        else:
+            key = flax_path_to_hf_key(path, kind)
+        value = state_dict.get(key)
+        if value is None and kind == "vae":
+            for new, old in _VAE_ATTN_ALIASES.items():
+                if new in key:
+                    alt = key.replace(new, old)
+                    value = state_dict.get(alt)
+                    if value is not None:
+                        key = alt
+                        break
+        if value is None:
+            if kind == "mutual" and "category_embedding" in key:
+                value = np.asarray(leaf_val)  # optional: absent in some ckpts
+            else:
+                missing.append(key)
+                continue
+        used.add(key)
+        value = _to_flax(np.asarray(value), leaf)
+        expect = np.shape(leaf_val)
+        if value.shape != expect:
+            # conv_in 4->8 channel extension (difashion.py:82-93): zero-init new
+            # input channels, copy pretrained into the first four.
+            if (
+                leaf == "kernel" and value.ndim == 4
+                and value.shape[:2] == expect[:2]
+                and value.shape[3] == expect[3]
+                and value.shape[2] < expect[2]
+            ):
+                wide = np.zeros(expect, value.dtype)
+                wide[:, :, : value.shape[2], :] = value
+                value = wide
+            else:
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(path)}: ckpt {value.shape} "
+                    f"vs model {expect}"
+                )
+        out["/".join(path)] = value.astype(np.float32)
+    if missing and strict:
+        raise KeyError(f"{len(missing)} keys missing, e.g. {missing[:5]}")
+    # rebuild the tree
+    def rebuild(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, prefix + (k,)) for k, v in tree.items()}
+        return out.get("/".join(prefix), np.asarray(tree))
+
+    return rebuild(template), missing
+
+
+def export_params(params, kind: str) -> Dict[str, np.ndarray]:
+    """flax params -> HF-style state dict (inverse of import_params)."""
+    import jax.tree_util as jtu
+
+    sd = {}
+    for path_keys, leaf_val in jtu.tree_flatten_with_path(params)[0]:
+        path = tuple(str(k.key) for k in path_keys)
+        if kind == "mutual" and path[0] == "category_embedding":
+            key = "category_embedding.weight"
+        else:
+            key = flax_path_to_hf_key(path, kind)
+        sd[key] = _to_hf(np.asarray(leaf_val), path[-1])
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# top-level: load a diffusers SD model dir into DiFashion params
+# ---------------------------------------------------------------------------
+
+def import_sd_checkpoint(model_dir: str, params, strict: bool = True):
+    """Fill {unet, vae, text_encoder} from a local diffusers SD2-base directory.
+    Returns updated params (fashion_encoder untouched — it's newly initialized, as in
+    the reference, `difashion.py:95-102`)."""
+    new = dict(params)
+    for kind, sub in (("unet", "unet"), ("vae", "vae"), ("text", "text_encoder")):
+        sd = load_state_dict(find_weights_file(model_dir, sub))
+        key = "unet" if kind == "unet" else ("vae" if kind == "vae" else "text_encoder")
+        new[key], _ = import_params(params[key], sd, kind, strict=strict)
+    return new

@@ -1,0 +1,201 @@
+"""core/ tests: config serialization, HF importer round-trip (name mapping + transposes
++ conv_in 4->8 extension), checkpoint save/resume/retention."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difashion_tpu.core.config import Config, ModelConfig, TrainConfig
+from difashion_tpu.core.checkpoint import CheckpointStore
+from difashion_tpu.core.importer import export_params, import_params
+from difashion_tpu.models import (
+    create_difashion,
+    init_clip_text,
+    init_mutual_encoder,
+    init_unet,
+    init_vae,
+)
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+def test_config_roundtrip_json():
+    cfg = Config.preset_eta01()
+    s = cfg.to_json()
+    cfg2 = Config.from_json(s)
+    assert cfg2 == cfg
+    # recipe values pinned (run_eta0.1.sh)
+    assert cfg.train.learning_rate == 1e-5
+    assert cfg.train.snr_gamma == 5.0
+    assert cfg.train.eta == 0.1
+    assert cfg.generation.category_guidance_scale == 12.0
+    assert cfg.generation.hist_guidance_scale == 4.0
+    assert cfg.generation.mutual_guidance_scale == 5.0
+    assert cfg.train.seed == 123
+    assert cfg.train.max_train_steps == 20000
+    assert cfg.train.checkpointing_steps == 1000
+
+
+def test_tiny_preset_topology():
+    cfg = Config.preset_tiny()
+    assert cfg.model.unet.in_channels == 8
+    assert len(cfg.model.unet.block_out_channels) == 4
+    assert cfg.model.vae.scale_factor == 8
+
+
+# ---------------------------------------------------------------------------
+# Importer round-trips (export -> import must be the identity)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny():
+    return ModelConfig.tiny()
+
+
+@pytest.mark.parametrize("kind", ["unet", "vae", "text", "mutual"])
+def test_importer_roundtrip(tiny, kind):
+    rng = jax.random.PRNGKey(0)
+    if kind == "unet":
+        _, params = init_unet(tiny.unet, rng)
+    elif kind == "vae":
+        _, params = init_vae(tiny.vae, rng)
+    elif kind == "text":
+        _, params = init_clip_text(tiny.text, rng)
+    else:
+        _, params = init_mutual_encoder(tiny.mutual, rng)
+    sd = export_params(params, kind)
+    # HF-style keys: dotted, torch layouts
+    assert all("." in k or k.endswith("weight") for k in sd)
+    restored, missing = import_params(params, sd, kind)
+    assert not missing
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(restored)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_importer_unet_key_names(tiny):
+    """Spot-check that exported keys match diffusers naming."""
+    _, params = init_unet(tiny.unet, jax.random.PRNGKey(1))
+    sd = export_params(params, "unet")
+    assert "conv_in.weight" in sd
+    assert "down_blocks.0.resnets.0.conv1.weight" in sd
+    assert "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight" in sd
+    assert "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0.proj.weight" in sd
+    assert "down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_out.0.bias" in sd
+    assert "mid_block.attentions.0.proj_in.weight" in sd
+    assert "up_blocks.1.attentions.0.norm.weight" in sd
+    assert "down_blocks.0.downsamplers.0.conv.weight" in sd
+    assert "up_blocks.0.upsamplers.0.conv.weight" in sd
+    assert "time_embedding.linear_1.weight" in sd
+    # torch conv layout on the HF side
+    assert sd["conv_in.weight"].shape == (32, 8, 3, 3)
+
+
+def test_importer_text_key_names(tiny):
+    _, params = init_clip_text(tiny.text, jax.random.PRNGKey(2))
+    sd = export_params(params, "text")
+    assert "text_model.embeddings.token_embedding.weight" in sd
+    assert "text_model.encoder.layers.0.self_attn.q_proj.weight" in sd
+    assert "text_model.encoder.layers.1.mlp.fc1.bias" in sd
+    assert "text_model.final_layer_norm.weight" in sd
+
+
+def test_importer_conv_in_extension(tiny):
+    """A 4-channel pretrained conv_in must import into our 8-channel model with the
+    extra input channels zeroed (reference surgery, difashion.py:82-93)."""
+    _, params = init_unet(tiny.unet, jax.random.PRNGKey(3))
+    sd = export_params(params, "unet")
+    w8 = sd["conv_in.weight"]                   # [O, 8, 3, 3]
+    sd4 = dict(sd)
+    sd4["conv_in.weight"] = w8[:, :4]           # pretend pretrained 4-ch checkpoint
+    restored, _ = import_params(params, sd4, "unet")
+    k = np.asarray(restored["conv_in"]["Conv_0"]["kernel"])  # HWIO
+    np.testing.assert_array_equal(
+        k[:, :, :4, :], np.transpose(w8[:, :4], (2, 3, 1, 0))
+    )
+    np.testing.assert_array_equal(k[:, :, 4:, :], 0.0)
+
+
+def test_importer_vae_legacy_attention_names(tiny):
+    """Old diffusers VAE checkpoints use query/key/value/proj_attn."""
+    _, params = init_vae(tiny.vae, jax.random.PRNGKey(4))
+    sd = export_params(params, "vae")
+    legacy = {}
+    for k, v in sd.items():
+        for new, old in (("to_q", "query"), ("to_k", "key"),
+                         ("to_v", "value"), ("to_out.0", "proj_attn")):
+            if new in k:
+                k = k.replace(new, old)
+                break
+        legacy[k] = v
+    restored, missing = import_params(params, legacy, "vae")
+    assert not missing
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(restored)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_importer_missing_key_strict(tiny):
+    _, params = init_mutual_encoder(tiny.mutual, jax.random.PRNGKey(5))
+    sd = export_params(params, "mutual")
+    assert "mlp.0.weight" in sd and "mlp.3.bias" in sd
+    del sd["mlp.0.weight"]
+    with pytest.raises(KeyError):
+        import_params(params, sd, "mutual", strict=True)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint store
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_save_resume_retention(tmp_path, tiny):
+    from difashion_tpu.engine import build_train_step
+
+    model, params = create_difashion(tiny, jax.random.PRNGKey(6))
+    tcfg = TrainConfig(checkpoints_total_limit=2)
+    _, init_fn = build_train_step(model, tcfg)
+    state = init_fn(params)
+
+    store = CheckpointStore(str(tmp_path), total_limit=2)
+    store.save_frozen({k: params[k] for k in ("vae", "text_encoder")})
+    assert store.has_frozen()
+
+    import dataclasses
+
+    for step in (1000, 2000, 3000):
+        state = state._replace(step=np.asarray(step, np.int32))
+        store.save(state, step)
+    # retention pruned the oldest
+    assert store.all_steps() == [2000, 3000]
+    assert store.latest_step() == 3000
+
+    template = init_fn(params)
+    restored = store.load(template)
+    assert int(restored.step) == 3000
+    for x, y in zip(
+        jax.tree_util.tree_leaves(state.params["unet"]),
+        jax.tree_util.tree_leaves(restored.params["unet"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # frozen towers restorable
+    frozen = store.load_frozen({k: params[k] for k in ("vae", "text_encoder")})
+    for x, y in zip(
+        jax.tree_util.tree_leaves(frozen["vae"]),
+        jax.tree_util.tree_leaves(params["vae"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_latest_none(tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    assert store.latest_step() is None
+    with pytest.raises(FileNotFoundError):
+        store.load(None)
