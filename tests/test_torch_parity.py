@@ -1,0 +1,264 @@
+"""Numeric parity of our NHWC flax primitives against torch (CPU) semantics.
+
+SURVEY.md hard part #3: port fidelity hinges on conv padding/stride semantics, GroupNorm
+epsilon/ordering, LayerNorm, attention math, GEGLU, and the CLIP encoder layer. Each test
+builds the torch op with the SAME weights (via the importer's layout rules) and checks
+<= 1e-4 in fp32.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from difashion_tpu.nn.attention import CrossAttention, sdpa
+from difashion_tpu.nn.layers import (
+    Conv2d,
+    Downsample2D,
+    GEGLU,
+    GroupNorm,
+    ResnetBlock2D,
+    Upsample2D,
+    get_timestep_embedding,
+)
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def _nchw(x):
+    return torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2).contiguous()
+
+
+def _to_nhwc(x):
+    return x.detach().permute(0, 2, 3, 1).numpy()
+
+
+@pytest.mark.parametrize("stride,k", [(1, 3), (1, 1), (2, 3)])
+def test_conv2d_matches_torch(stride, k):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 8, 4).astype(np.float32)
+    m = Conv2d(features=6, kernel_size=k, strides=stride)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = m.apply({"params": params}, jnp.asarray(x))
+
+    w = np.transpose(np.asarray(params["Conv_0"]["kernel"]), (3, 2, 0, 1))
+    conv = torch.nn.Conv2d(4, 6, k, stride=stride, padding=(k - 1) // 2)
+    with torch.no_grad():
+        conv.weight.copy_(_t(w))
+        conv.bias.copy_(_t(np.asarray(params["Conv_0"]["bias"])))
+    ref = _to_nhwc(conv(_nchw(x)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_downsample_asymmetric_padding():
+    """diffusers Downsample2D pads (0,1,0,1) then stride-2 3x3 conv."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 8, 8, 4).astype(np.float32)
+    m = Downsample2D(out_channels=4)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = m.apply({"params": params}, jnp.asarray(x))
+    assert out.shape == (1, 4, 4, 4)
+
+    w = np.transpose(np.asarray(params["conv"]["Conv_0"]["kernel"]), (3, 2, 0, 1))
+    conv = torch.nn.Conv2d(4, 4, 3, stride=2, padding=0)
+    with torch.no_grad():
+        conv.weight.copy_(_t(w))
+        conv.bias.copy_(_t(np.asarray(params["conv"]["Conv_0"]["bias"])))
+    xt = torch.nn.functional.pad(_nchw(x), (0, 1, 0, 1))
+    ref = _to_nhwc(conv(xt))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_upsample_nearest():
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 4, 4, 4).astype(np.float32)
+    m = Upsample2D(out_channels=4)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = m.apply({"params": params}, jnp.asarray(x))
+
+    w = np.transpose(np.asarray(params["conv"]["Conv_0"]["kernel"]), (3, 2, 0, 1))
+    conv = torch.nn.Conv2d(4, 4, 3, padding=1)
+    with torch.no_grad():
+        conv.weight.copy_(_t(w))
+        conv.bias.copy_(_t(np.asarray(params["conv"]["Conv_0"]["bias"])))
+    xt = torch.nn.functional.interpolate(_nchw(x), scale_factor=2, mode="nearest")
+    ref = _to_nhwc(conv(xt))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("eps", [1e-5, 1e-6])
+def test_groupnorm_matches_torch(eps):
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 4, 4, 8).astype(np.float32)
+    m = GroupNorm(num_groups=4, epsilon=eps)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = m.apply({"params": params}, jnp.asarray(x))
+
+    gn = torch.nn.GroupNorm(4, 8, eps=eps)
+    with torch.no_grad():
+        gn.weight.copy_(_t(np.asarray(params["GroupNorm_0"]["scale"])))
+        gn.bias.copy_(_t(np.asarray(params["GroupNorm_0"]["bias"])))
+    ref = _to_nhwc(gn(_nchw(x)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_geglu_matches_torch():
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 5, 8).astype(np.float32)
+    m = GEGLU(dim_out=16)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = m.apply({"params": params}, jnp.asarray(x))
+
+    w = np.asarray(params["proj"]["kernel"]).T
+    b = np.asarray(params["proj"]["bias"])
+    xt = _t(x)
+    proj = torch.nn.functional.linear(xt, _t(w), _t(b))
+    h, gate = proj.chunk(2, dim=-1)
+    ref = (h * torch.nn.functional.gelu(gate)).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sdpa_matches_torch():
+    rng = np.random.RandomState(5)
+    q = rng.randn(2, 3, 16, 8).astype(np.float32)
+    k = rng.randn(2, 3, 12, 8).astype(np.float32)
+    v = rng.randn(2, 3, 12, 8).astype(np.float32)
+    out = sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), use_flash=False)
+    ref = torch.nn.functional.scaled_dot_product_attention(_t(q), _t(k), _t(v))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_cross_attention_matches_torch_mha():
+    """Our CrossAttention == manual torch attention with identical projections."""
+    rng = np.random.RandomState(6)
+    x = rng.randn(1, 10, 16).astype(np.float32)
+    ctx = rng.randn(1, 7, 16).astype(np.float32)
+    m = CrossAttention(query_dim=16, heads=2, head_dim=8, context_dim=16)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx))["params"]
+    out = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(ctx))
+
+    def lin(name, inp, bias=True):
+        w = _t(np.asarray(params[name]["kernel"]).T)
+        b = _t(np.asarray(params[name]["bias"])) if bias else None
+        return torch.nn.functional.linear(inp, w, b)
+
+    q = lin("to_q", _t(x), bias=False)
+    k = lin("to_k", _t(ctx), bias=False)
+    v = lin("to_v", _t(ctx), bias=False)
+    B, S, _ = q.shape
+    q = q.view(B, S, 2, 8).transpose(1, 2)
+    k = k.view(B, 7, 2, 8).transpose(1, 2)
+    v = v.view(B, 7, 2, 8).transpose(1, 2)
+    o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+    o = o.transpose(1, 2).reshape(B, S, 16)
+    ref = lin("to_out_0", o).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resnet_block_matches_torch_composition():
+    """Full ResnetBlock2D vs a torch reimplementation with identical weights."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 4, 4, 8).astype(np.float32)
+    temb = rng.randn(1, 16).astype(np.float32)
+    m = ResnetBlock2D(out_channels=12, groups=4)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(temb))["params"]
+    out = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(temb))
+
+    def conv(name, inp, k=3):
+        w = _t(np.transpose(np.asarray(params[name]["Conv_0"]["kernel"]), (3, 2, 0, 1)))
+        b = _t(np.asarray(params[name]["Conv_0"]["bias"]))
+        return torch.nn.functional.conv2d(inp, w, b, padding=(k - 1) // 2)
+
+    def gn(name, inp, ch):
+        w = _t(np.asarray(params[name]["GroupNorm_0"]["scale"]))
+        b = _t(np.asarray(params[name]["GroupNorm_0"]["bias"]))
+        return torch.nn.functional.group_norm(inp, 4, w, b, eps=1e-5)
+
+    xt = _nchw(x)
+    h = torch.nn.functional.silu(gn("norm1", xt, 8))
+    h = conv("conv1", h)
+    tp = torch.nn.functional.linear(
+        torch.nn.functional.silu(_t(temb)),
+        _t(np.asarray(params["time_emb_proj"]["kernel"]).T),
+        _t(np.asarray(params["time_emb_proj"]["bias"])),
+    )
+    h = h + tp[:, :, None, None]
+    h = torch.nn.functional.silu(gn("norm2", h, 12))
+    h = conv("conv2", h)
+    sc = conv("conv_shortcut", xt, k=1)
+    ref = _to_nhwc(sc + h)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_timestep_embedding_matches_torch_formula():
+    """SD sinusoid: exp(-ln(1e4) * i / half), cos|sin order (flip_sin_to_cos)."""
+    t = np.array([0, 1, 500, 999], np.float32)
+    emb = np.asarray(get_timestep_embedding(jnp.asarray(t), 32))
+    half = 16
+    freqs = np.exp(-math.log(10000) * np.arange(half, dtype=np.float32) / half)
+    args = t[:, None] * freqs[None]
+    ref = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
+    # fp32 exp() differs in the last ulp between XLA and numpy
+    np.testing.assert_allclose(emb, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_leaky_relu_slope_matches_torch():
+    """MutualEncoder uses LeakyReLU with torch's default slope 0.01."""
+    x = np.linspace(-2, 2, 9).astype(np.float32)
+    ours = np.asarray(jax.nn.leaky_relu(jnp.asarray(x), negative_slope=0.01))
+    ref = torch.nn.functional.leaky_relu(_t(x), 0.01).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_clip_layer_matches_torch_composition():
+    """One CLIP encoder layer vs torch ops with identical weights + causal mask."""
+    from difashion_tpu.core.config import CLIPTextConfig
+    from difashion_tpu.models.clip_text import CLIPEncoderLayer
+
+    cfg = CLIPTextConfig.tiny()
+    rng = np.random.RandomState(8)
+    x = rng.randn(1, 9, cfg.hidden_size).astype(np.float32)
+    causal = jnp.tril(jnp.ones((9, 9), bool))[None, None]
+    m = CLIPEncoderLayer(cfg)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), causal)["params"]
+    out = m.apply({"params": params}, jnp.asarray(x), causal)
+
+    def lin(path, inp):
+        p = params
+        for s in path.split("/"):
+            p = p[s]
+        return torch.nn.functional.linear(
+            inp, _t(np.asarray(p["kernel"]).T), _t(np.asarray(p["bias"]))
+        )
+
+    def ln(name, inp):
+        p = params[name]
+        return torch.nn.functional.layer_norm(
+            inp, (cfg.hidden_size,), _t(np.asarray(p["scale"])),
+            _t(np.asarray(p["bias"])), eps=cfg.layer_norm_eps,
+        )
+
+    xt = _t(x)
+    h = ln("layer_norm1", xt)
+    hd = cfg.hidden_size // cfg.num_heads
+    q = lin("self_attn/q_proj", h) * hd ** -0.5
+    k = lin("self_attn/k_proj", h)
+    v = lin("self_attn/v_proj", h)
+    B, S, _ = q.shape
+    sh = lambda z: z.view(B, S, cfg.num_heads, hd).transpose(1, 2)
+    logits = sh(q) @ sh(k).transpose(-1, -2)
+    mask = torch.tril(torch.ones(S, S, dtype=torch.bool))
+    logits = logits.masked_fill(~mask, torch.finfo(torch.float32).min)
+    attn = torch.softmax(logits, dim=-1) @ sh(v)
+    attn = attn.transpose(1, 2).reshape(B, S, cfg.hidden_size)
+    xt = xt + lin("self_attn/out_proj", attn)
+    h = ln("layer_norm2", xt)
+    h = lin("fc1", h)
+    h = torch.nn.functional.gelu(h)
+    ref = (xt + lin("fc2", h)).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
