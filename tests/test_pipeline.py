@@ -1,0 +1,116 @@
+"""End-to-end generation pipeline test on the tiny model: FITB + GOR over a small
+table -> JPEG tree + manifest contract + idempotent skip."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from difashion_tpu.core.config import Config
+from difashion_tpu.data import HashTokenizer, HistLatentStore, OutfitTable
+from difashion_tpu.engine.pipeline import GenerationPipeline, merge_images_grid
+from difashion_tpu.models import create_difashion
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = Config.preset_tiny()
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, generation=dataclasses.replace(
+            cfg.generation, num_inference_steps=2, fitb_batch_size=3, gor_batch_size=2
+        )
+    )
+    model, params = create_difashion(cfg.model, jax.random.PRNGKey(0))
+    id_cate_dict = {i: f"cate{i}" for i in range(1, 6)}
+    h = cfg.model.unet.sample_size
+    C = cfg.model.vae.latent_channels
+    rng = np.random.RandomState(0)
+    item_latents = rng.randn(20, h, h, C).astype(np.float32) * 0.2
+    hist_store = HistLatentStore.from_catalog({1: {2: [3, 4]}}, item_latents)
+    tok = HashTokenizer(vocab_size=cfg.model.text.vocab_size)
+    p = GenerationPipeline(
+        model, params, cfg, id_cate_dict, tok, hist_store,
+        item_latents=item_latents,
+    )
+    return cfg, p
+
+
+def _table(n=4):
+    rng = np.random.RandomState(1)
+    outfits = rng.randint(1, 20, size=(n, 4))
+    outfits[np.arange(n), rng.randint(0, 4, n)] = 0  # one blank per outfit
+    return OutfitTable(
+        uids=np.arange(1, n + 1),
+        oids=np.arange(100, 100 + n),
+        outfits=outfits,
+        category=rng.randint(1, 6, size=(n, 4)),
+    )
+
+
+def test_fitb_run_manifest_contract(pipe, tmp_path):
+    cfg, p = pipe
+    table = _table(4)
+    grd = {
+        int(o): {"outfits": table.outfits[i].tolist(),
+                 "category": table.category[i].tolist()}
+        for i, o in enumerate(table.oids)
+    }
+    run_dir = p.run(table, "FITB", str(tmp_path), "FITB-ckpt-test", grd_dict=grd)
+    man = np.load(run_dir + ".npy", allow_pickle=True).item()
+    # every (uid, oid) present with one generated image
+    assert len(man) == 4
+    for uid, by_oid in man.items():
+        for oid, rec in by_oid.items():
+            assert len(rec["image_paths"]) == 1
+            assert os.path.exists(rec["image_paths"][0])
+            assert rec["full_cates"].shape == (4,)
+            assert (rec["outfits"] == 0).sum() == 1
+            assert len(rec["cates"]) == 1
+    grd_man = np.load(run_dir + "_grd.npy", allow_pickle=True).item()
+    assert len(grd_man) == 4
+
+
+def test_gor_run_all_slots_and_grid(pipe, tmp_path):
+    cfg, p = pipe
+    table = _table(2)
+    run_dir = p.run(table, "GOR", str(tmp_path), "GOR-ckpt-test")
+    man = np.load(run_dir + ".npy", allow_pickle=True).item()
+    for uid, by_oid in man.items():
+        for oid, rec in by_oid.items():
+            assert len(rec["image_paths"]) == 4       # all slots generated
+            assert (rec["outfits"] == 0).all()
+            folder = os.path.dirname(rec["image_paths"][0])
+            assert os.path.exists(os.path.join(folder, "all.jpg"))
+
+
+def test_run_idempotent_skip(pipe, tmp_path):
+    cfg, p = pipe
+    table = _table(2)
+    d1 = p.run(table, "FITB", str(tmp_path), "FITB-again")
+    mtime = os.path.getmtime(d1 + ".npy")
+    d2 = p.run(table, "FITB", str(tmp_path), "FITB-again")
+    assert d1 == d2
+    assert os.path.getmtime(d1 + ".npy") == mtime  # untouched on skip
+
+
+def test_ragged_last_batch_padding(pipe, tmp_path):
+    """5 rows with batch size 3 -> last batch has 2 rows; pad rows must not leak."""
+    cfg, p = pipe
+    table = _table(5)
+    run_dir = p.run(table, "FITB", str(tmp_path), "FITB-ragged")
+    man = np.load(run_dir + ".npy", allow_pickle=True).item()
+    n_recs = sum(len(v) for v in man.values())
+    assert n_recs == 5
+
+
+def test_merge_images_grid():
+    imgs = np.zeros((4, 8, 8, 3), np.uint8)
+    imgs[0] = 255
+    grid = merge_images_grid(imgs)
+    assert grid.shape == (16, 16, 3)
+    assert (grid[:8, :8] == 255).all() and (grid[8:, 8:] == 0).all()
+    grid3 = merge_images_grid(np.zeros((3, 8, 8, 3), np.uint8))
+    assert grid3.shape == (16, 16, 3)  # 2x2 grid, one white pad cell
+    assert (grid3[8:, 8:] == 255).all()
