@@ -1,0 +1,427 @@
+"""Evaluation drivers: FITB / GOR / grounding-FITB / grounding-GOR metric cascades.
+
+Re-implements the reference's four driver scripts (`/root/reference/Evaluation/
+evaluate_fitb.py:104-463`, `evaluate_gor.py`, `evaluate_grounding_fitb.py`,
+`evaluate_grounding_gor.py`) over the manifests our pipeline writes:
+
+  * gen manifest  {uid: {oid: {cates, full_cates, outfits, image_paths}}}
+  * metrics are appended to `eval_results.npy` keyed by run name, np.save'd after EVERY
+    metric (the reference's crash-safe incremental behavior, `evaluate_fitb.py:216-436`)
+  * already-computed metrics are skipped on re-run (`evaluate_fitb.py:164-169`)
+
+Quirks preserved: eval prompts drop "high quality" and use the larger special-cates list
+(`evaluate_fitb.py:51,88-102`); retrieval ground truth is candidate index 0; compat
+pointers use negative ids for generated items (`eval_utils.py:575-584`); the reference's
+`clip_og_retrieval_given_data` / call-site `clip_gor_retrieval_given_data` name mismatch
+(`eval_utils.py:725` vs `evaluate_grounding_gor.py:255`) is resolved to the evident
+intent (one top-N retrieval routine).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from difashion_tpu.data.prompts import eval_prompt
+from difashion_tpu.engine.pipeline import merge_images_grid
+from difashion_tpu.eval.extractors import Extractors
+from difashion_tpu.eval.metrics import (
+    clip_image_score,
+    clip_score,
+    fid_from_features,
+    inception_metrics,
+    personalization_sim,
+    retrieval_accuracy,
+    topn_recall,
+)
+from difashion_tpu.eval.models.compat import gather_outfit_feats
+
+
+def load_image01(path: str, size: Optional[int] = None) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if size is not None and img.size != (size, size):
+        # polyvore grd images are 291px; reference resizes them to 512
+        # (`evaluate_fitb.py:174-205`)
+        img = img.resize((size, size), Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+@dataclass
+class EvalContext:
+    """Everything the drivers need besides the manifests."""
+
+    extractors: Extractors
+    id_cate_dict: Dict[int, str]
+    item_image_loader: Callable[[int], np.ndarray]       # iid -> [H,W,3] in [0,1]
+    cnn_features_clip: Optional[np.ndarray] = None       # [n_items, 1024]
+    history_clipembs: Optional[dict] = None              # {uid: {cid: [1024]}}
+    retrieval_candidates: Optional[dict] = None          # {uid: {oid: [5 iids]}}
+    cate_iid_dict: Optional[dict] = None                 # {cid: [iids]}
+    cid_to_label: Optional[dict] = None                  # {cid: class row}
+    img_size: int = 512
+
+    def label_of(self, cid: int) -> int:
+        if self.cid_to_label is not None:
+            return int(self.cid_to_label[cid])
+        return sorted(self.id_cate_dict).index(cid)
+
+    def hist_emb(self, uid: int, cid: int) -> np.ndarray:
+        h = (self.history_clipembs or {}).get(uid, {})
+        if cid in h:
+            return np.asarray(h[cid], np.float32)
+        if self.cnn_features_clip is not None:
+            return np.asarray(self.cnn_features_clip[0], np.float32)
+        raise KeyError(f"no history embedding for uid={uid} cid={cid}")
+
+
+class _ResultSink:
+    """Incremental metric accumulator -> eval_results.npy (crash-safe resume)."""
+
+    def __init__(self, out_path: str, run_name: str):
+        self.path = out_path
+        self.run = run_name
+        if os.path.exists(out_path):
+            self.all = np.load(out_path, allow_pickle=True).item()
+        else:
+            self.all = {}
+        self.all.setdefault(run_name, {})
+
+    def has(self, metric: str) -> bool:
+        return metric in self.all[self.run]
+
+    def put(self, metric: str, value) -> None:
+        self.all[self.run][metric] = value
+        np.save(self.path, np.array(self.all, dtype=object))
+
+    def results(self) -> dict:
+        return self.all[self.run]
+
+
+def _flatten_fitb_manifest(manifest: dict):
+    """-> (uids, oids, cates, outfits_rows, image_paths) parallel lists, one per
+    generated image."""
+    uids, oids, cates, rows, paths = [], [], [], [], []
+    for uid, by_oid in manifest.items():
+        for oid, rec in by_oid.items():
+            for c, p in zip(rec["cates"], rec["image_paths"]):
+                uids.append(uid)
+                oids.append(oid)
+                cates.append(int(c))
+                rows.append(np.asarray(rec["outfits"]))
+                paths.append(p)
+    return uids, oids, cates, rows, paths
+
+
+def evaluate_fitb(
+    run_path: str,
+    ctx: EvalContext,
+    grd_dict: Dict[int, dict],
+    out_path: Optional[str] = None,
+    run_name: Optional[str] = None,
+) -> dict:
+    """FITB metric cascade over one generation run (`evaluate_fitb.py:157-436`)."""
+    manifest = np.load(run_path + ".npy", allow_pickle=True).item()
+    run_name = run_name or os.path.basename(run_path)
+    out_path = out_path or os.path.join(os.path.dirname(run_path), "eval_results.npy")
+    sink = _ResultSink(out_path, run_name)
+    X = ctx.extractors
+
+    uids, oids, cates, outfit_rows, paths = _flatten_fitb_manifest(manifest)
+    gen_imgs = np.stack([load_image01(p, ctx.img_size) for p in paths])
+    # ground-truth item per generated slot: the grd outfit's item of the same category
+    grd_iids = []
+    for oid, c in zip(oids, cates):
+        g = grd_dict[oid]
+        idx = int(np.where(np.asarray(g["category"]) == c)[0][0])
+        grd_iids.append(int(np.asarray(g["outfits"])[idx]))
+    grd_imgs = np.stack([ctx.item_image_loader(i) for i in grd_iids])
+
+    if not sink.has("fid"):
+        sink.put("fid", fid_from_features(
+            X.fid_features(gen_imgs), X.fid_features(grd_imgs)
+        ))
+    if not sink.has("is"):
+        labels = np.asarray([ctx.label_of(c) for c in cates])
+        sink.put("is", inception_metrics(X.inception_probs(gen_imgs), labels))
+
+    prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
+    txt_emb = X.clip_text_embs(prompts)
+    gen_emb = X.clip_image_embs(gen_imgs)
+    grd_emb = X.clip_image_embs(grd_imgs)
+
+    if not sink.has("clip_score"):
+        sink.put("clip_score", clip_score(gen_emb, txt_emb))
+    if not sink.has("grd_clip_score"):
+        sink.put("grd_clip_score", clip_score(grd_emb, txt_emb))
+    if not sink.has("clip_retrieval_acc") and ctx.retrieval_candidates is not None:
+        cand = np.stack([
+            np.asarray(ctx.retrieval_candidates[u][o], np.int64)
+            for u, o in zip(uids, oids)
+        ])
+        cand_embs = ctx.cnn_features_clip[cand]
+        acc, _ = retrieval_accuracy(gen_emb, cand_embs)
+        sink.put("clip_retrieval_acc", acc)
+    if not sink.has("clip_image_score"):
+        sink.put("clip_image_score", clip_image_score(gen_emb, grd_emb))
+    if not sink.has("lpips"):
+        sink.put("lpips", float(np.mean(X.lpips(gen_imgs, grd_imgs))))
+    if not sink.has("personal_sim"):
+        hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
+        sink.put("personal_sim", personalization_sim(gen_emb, hist))
+    if not sink.has("compatibility") and ctx.cnn_features_clip is not None:
+        # generated slot -> negative pointer into gen_emb (eval_utils.py:575-584)
+        out_rows, grd_rows = [], []
+        for k, row in enumerate(outfit_rows):
+            r = row.copy()
+            r[np.asarray(row) == 0] = -k
+            out_rows.append(r)
+            g = grd_dict[oids[k]]
+            grd_rows.append(np.asarray(g["outfits"]))
+        feats = gather_outfit_feats(
+            np.stack(out_rows), ctx.cnn_features_clip, gen_emb
+        )
+        grd_feats = gather_outfit_feats(
+            np.stack(grd_rows), ctx.cnn_features_clip, None
+        )
+        sink.put("compatibility", float(np.mean(X.compat_scores(feats))))
+        sink.put("grd_compatibility", float(np.mean(X.compat_scores(grd_feats))))
+    return sink.results()
+
+
+def evaluate_gor(
+    run_path: str,
+    ctx: EvalContext,
+    grd_dict: Dict[int, dict],
+    out_path: Optional[str] = None,
+    run_name: Optional[str] = None,
+) -> dict:
+    """GOR cascade: item-level FID/IS/CLIP-score + outfit-level merged-grid
+    CLIP-image/LPIPS (`evaluate_gor.py:107-120,217-237`) + compat per outfit."""
+    manifest = np.load(run_path + ".npy", allow_pickle=True).item()
+    run_name = run_name or os.path.basename(run_path)
+    out_path = out_path or os.path.join(os.path.dirname(run_path), "eval_results.npy")
+    sink = _ResultSink(out_path, run_name)
+    X = ctx.extractors
+
+    uids, oids, cates, _, paths = _flatten_fitb_manifest(manifest)
+    gen_imgs = np.stack([load_image01(p, ctx.img_size) for p in paths])
+    grd_item_iids = []
+    for oid in dict.fromkeys(oids):   # unique, order-preserving
+        grd_item_iids.extend(int(i) for i in grd_dict[oid]["outfits"])
+    grd_imgs = np.stack([ctx.item_image_loader(i) for i in grd_item_iids])
+
+    if not sink.has("fid"):
+        sink.put("fid", fid_from_features(
+            X.fid_features(gen_imgs), X.fid_features(grd_imgs)
+        ))
+    if not sink.has("is"):
+        labels = np.asarray([ctx.label_of(c) for c in cates])
+        sink.put("is", inception_metrics(X.inception_probs(gen_imgs), labels))
+
+    prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
+    gen_emb = X.clip_image_embs(gen_imgs)
+    if not sink.has("clip_score"):
+        sink.put("clip_score", clip_score(gen_emb, X.clip_text_embs(prompts)))
+
+    # outfit-level merged grids
+    if not sink.has("clip_image_score") or not sink.has("lpips"):
+        merged_gen, merged_grd = [], []
+        for uid, by_oid in manifest.items():
+            for oid, rec in by_oid.items():
+                imgs = np.stack([
+                    load_image01(p, ctx.img_size) for p in rec["image_paths"]
+                ])
+                g = np.stack([
+                    ctx.item_image_loader(int(i)) for i in grd_dict[oid]["outfits"]
+                ])
+                to_grid = lambda im: merge_images_grid(
+                    (im * 255).astype(np.uint8)
+                ).astype(np.float32) / 255.0
+                merged_gen.append(to_grid(imgs))
+                merged_grd.append(to_grid(g))
+        merged_gen = np.stack(merged_gen)
+        merged_grd = np.stack(merged_grd)
+        mg_emb = X.clip_image_embs(merged_gen)
+        mr_emb = X.clip_image_embs(merged_grd)
+        if not sink.has("clip_image_score"):
+            sink.put("clip_image_score", clip_image_score(mg_emb, mr_emb))
+        if not sink.has("lpips"):
+            sink.put("lpips", float(np.mean(X.lpips(merged_gen, merged_grd))))
+
+    if not sink.has("personal_sim"):
+        hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
+        sink.put("personal_sim", personalization_sim(gen_emb, hist))
+
+    if not sink.has("compatibility") and ctx.cnn_features_clip is not None:
+        rows, grd_rows, k = [], [], 0
+        for uid, by_oid in manifest.items():
+            for oid, rec in by_oid.items():
+                n = len(rec["image_paths"])
+                rows.append(-np.arange(k, k + n, dtype=np.int64))
+                k += n
+                grd_rows.append(np.asarray(grd_dict[oid]["outfits"]))
+        feats = gather_outfit_feats(np.stack(rows), ctx.cnn_features_clip, gen_emb)
+        grd_feats = gather_outfit_feats(
+            np.stack(grd_rows), ctx.cnn_features_clip, None
+        )
+        sink.put("compatibility", float(np.mean(X.compat_scores(feats))))
+        sink.put("grd_compatibility", float(np.mean(X.compat_scores(grd_feats))))
+    return sink.results()
+
+
+def evaluate_grounding_fitb(
+    run_path: str,
+    ctx: EvalContext,
+    grd_dict: Dict[int, dict],
+    out_path: Optional[str] = None,
+    run_name: Optional[str] = None,
+) -> dict:
+    """Grounded FITB: retrieve the nearest real candidate for each generated image,
+    then score the retrieved REAL item (`evaluate_grounding_fitb.py:216-296`)."""
+    manifest = np.load(run_path + ".npy", allow_pickle=True).item()
+    run_name = run_name or os.path.basename(run_path)
+    out_path = out_path or os.path.join(
+        os.path.dirname(run_path), "eval_results_grounding.npy"
+    )
+    sink = _ResultSink(out_path, run_name)
+    X = ctx.extractors
+
+    uids, oids, cates, outfit_rows, paths = _flatten_fitb_manifest(manifest)
+    gen_imgs = np.stack([load_image01(p, ctx.img_size) for p in paths])
+    gen_emb = X.clip_image_embs(gen_imgs)
+
+    cand = np.stack([
+        np.asarray(ctx.retrieval_candidates[u][o], np.int64)
+        for u, o in zip(uids, oids)
+    ])
+    cand_embs = ctx.cnn_features_clip[cand]
+    acc, preds = retrieval_accuracy(gen_emb, cand_embs)
+    retrieved = cand[np.arange(len(preds)), preds]
+    if not sink.has("retrieval_acc"):
+        sink.put("retrieval_acc", acc)
+
+    ret_imgs = np.stack([ctx.item_image_loader(int(i)) for i in retrieved])
+    ret_emb = X.clip_image_embs(ret_imgs)
+    grd_iids = []
+    for oid, c in zip(oids, cates):
+        g = grd_dict[oid]
+        idx = int(np.where(np.asarray(g["category"]) == c)[0][0])
+        grd_iids.append(int(np.asarray(g["outfits"])[idx]))
+    grd_imgs = np.stack([ctx.item_image_loader(i) for i in grd_iids])
+    grd_emb = X.clip_image_embs(grd_imgs)
+
+    prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
+    if not sink.has("clip_score"):
+        sink.put("clip_score", clip_score(ret_emb, X.clip_text_embs(prompts)))
+    if not sink.has("clip_image_score"):
+        sink.put("clip_image_score", clip_image_score(ret_emb, grd_emb))
+    if not sink.has("lpips"):
+        sink.put("lpips", float(np.mean(X.lpips(ret_imgs, grd_imgs))))
+    if not sink.has("personal_sim"):
+        hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
+        sink.put("personal_sim", personalization_sim(ret_emb, hist))
+    if not sink.has("compatibility"):
+        rows = []
+        for k, row in enumerate(outfit_rows):
+            r = np.asarray(row).copy()
+            r[r == 0] = retrieved[k]    # grounded: real retrieved item fills the blank
+            rows.append(r)
+        feats = gather_outfit_feats(np.stack(rows), ctx.cnn_features_clip, None)
+        sink.put("compatibility", float(np.mean(X.compat_scores(feats))))
+    return sink.results()
+
+
+def evaluate_grounding_gor(
+    run_path: str,
+    ctx: EvalContext,
+    grd_dict: Dict[int, dict],
+    out_path: Optional[str] = None,
+    run_name: Optional[str] = None,
+    topN: Sequence[int] = (10, 20, 50, 100),
+) -> dict:
+    """Grounded GOR: candidates = the category's full item pool; top-N recall
+    (`evaluate_grounding_gor.py:204-282`)."""
+    manifest = np.load(run_path + ".npy", allow_pickle=True).item()
+    run_name = run_name or os.path.basename(run_path)
+    out_path = out_path or os.path.join(
+        os.path.dirname(run_path), "eval_results_grounding.npy"
+    )
+    sink = _ResultSink(out_path, run_name)
+    X = ctx.extractors
+
+    uids, oids, cates, _, paths = _flatten_fitb_manifest(manifest)
+    gen_imgs = np.stack([load_image01(p, ctx.img_size) for p in paths])
+    gen_emb = X.clip_image_embs(gen_imgs)
+
+    pools = [np.asarray(ctx.cate_iid_dict[c], np.int64) for c in cates]
+    pool_embs = [ctx.cnn_features_clip[p] for p in pools]
+    grd_iids = []
+    for oid, c in zip(oids, cates):
+        g = grd_dict[oid]
+        idx = int(np.where(np.asarray(g["category"]) == c)[0][0])
+        grd_iids.append(int(np.asarray(g["outfits"])[idx]))
+
+    preds, recalls = topn_recall(gen_emb, pools, pool_embs, grd_iids, topN=topN)
+    for N, r in recalls.items():
+        if not sink.has(f"recall@{N}"):
+            sink.put(f"recall@{N}", r)
+
+    ret_imgs = np.stack([ctx.item_image_loader(int(i)) for i in preds])
+    ret_emb = X.clip_image_embs(ret_imgs)
+    prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
+    if not sink.has("clip_score"):
+        sink.put("clip_score", clip_score(ret_emb, X.clip_text_embs(prompts)))
+    if not sink.has("personal_sim"):
+        hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
+        sink.put("personal_sim", personalization_sim(ret_emb, hist))
+    if not sink.has("compatibility"):
+        rows, k = [], 0
+        for uid, by_oid in manifest.items():
+            for oid, rec in by_oid.items():
+                n = len(rec["image_paths"])
+                rows.append(preds[k:k + n])
+                k += n
+        feats = gather_outfit_feats(
+            np.stack(rows).astype(np.int64), ctx.cnn_features_clip, None
+        )
+        sink.put("compatibility", float(np.mean(X.compat_scores(feats))))
+    return sink.results()
+
+
+# ---------------------------------------------------------------------------
+# History CLIP-embedding extraction (extract_hist_embs.py equivalent)
+# ---------------------------------------------------------------------------
+
+def extract_catalog_clip_features(
+    ctx_or_extractors,
+    item_image_loader: Callable[[int], np.ndarray],
+    num_items: int,
+    batch_size: int = 200,
+) -> np.ndarray:
+    """Encode the whole catalog with the CLIP image tower -> [N, 1024]
+    (`extract_hist_embs.py:81-103`, batches of 200)."""
+    X = ctx_or_extractors if isinstance(ctx_or_extractors, Extractors) else (
+        ctx_or_extractors.extractors
+    )
+    feats = []
+    for s in range(0, num_items, batch_size):
+        e = min(s + batch_size, num_items)
+        imgs = np.stack([item_image_loader(i) for i in range(s, e)])
+        feats.append(X.clip_image_embs(imgs))
+    return np.concatenate(feats, axis=0)
+
+
+def process_history_clip_embs(history: dict, cnn_features: np.ndarray) -> dict:
+    """{uid: {cid: [iids]}} -> {uid: {cid: mean CLIP emb}}
+    (`extract_hist_embs.py:105-117`)."""
+    out = {}
+    for uid, by_cate in history.items():
+        out[uid] = {
+            cid: cnn_features[np.asarray(iids, np.int64)].mean(axis=0)
+            for cid, iids in by_cate.items()
+        }
+    return out
