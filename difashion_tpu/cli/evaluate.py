@@ -1,0 +1,107 @@
+"""Evaluation CLI: run the metric cascades over generated-run manifests.
+
+Equivalent of the reference's four eval scripts + shell wrappers
+(`/root/reference/Evaluation/evaluate_fitb.py`, `evaluate_gor.py`,
+`evaluate_grounding_{fitb,gor}.py`, `run_eval_*.sh`): discovers run manifests under
+`--gen_dir` ("all" behavior, `evaluate_fitb.py:124-130`), skips already-evaluated runs,
+and prints the metric report.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+from difashion_tpu.core.logging import setup_logging
+from difashion_tpu.data.datasets import FashionData
+from difashion_tpu.eval.drivers import (
+    EvalContext,
+    evaluate_fitb,
+    evaluate_gor,
+    evaluate_grounding_fitb,
+    evaluate_grounding_gor,
+)
+from difashion_tpu.eval.extractors import build_extractors
+
+
+def discover_runs(gen_dir: str, task: str):
+    """Run manifests are `<run_name>.npy` next to `<run_name>/images/`."""
+    out = []
+    for p in sorted(glob.glob(os.path.join(gen_dir, f"{task}-*.npy"))):
+        if p.endswith("_grd.npy"):
+            continue
+        out.append(p[:-len(".npy")])
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DiFashion-TPU evaluation")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--gen_dir", required=True)
+    p.add_argument("--task", choices=["FITB", "GOR"], default="FITB")
+    p.add_argument("--mode", choices=["valid", "test"], default="test")
+    p.add_argument("--grounding", action="store_true")
+    p.add_argument("--weights_dir", default=None,
+                   help="eval backbone checkpoints (see build_extractors)")
+    p.add_argument("--img_folder_path", default=None)
+    p.add_argument("--image_paths_npy", default=None,
+                   help="all_item_image_paths.npy (iid -> relative path)")
+    p.add_argument("--cnn_features_npy", default=None,
+                   help="cnn_features_clip.npy (iid -> 1024-d CLIP emb)")
+    p.add_argument("--hist_clipembs_npy", default=None)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    log = setup_logging()
+    data = FashionData.load(args.data_path)
+    X = build_extractors(args.weights_dir, batch_size=args.batch_size,
+                         tiny=args.tiny)
+
+    image_paths = (np.load(args.image_paths_npy, allow_pickle=True)
+                   if args.image_paths_npy else None)
+    cnn = (np.load(args.cnn_features_npy, allow_pickle=True)
+           if args.cnn_features_npy else None)
+    hist_embs = (np.load(args.hist_clipembs_npy, allow_pickle=True).item()
+                 if args.hist_clipembs_npy else None)
+
+    def item_loader(iid: int):
+        from difashion_tpu.eval.drivers import load_image01
+
+        if image_paths is None:
+            raise SystemExit("--image_paths_npy and --img_folder_path required "
+                             "for image-based metrics")
+        return load_image01(
+            os.path.join(args.img_folder_path or "", str(image_paths[iid])), 512
+        )
+
+    ctx = EvalContext(
+        extractors=X,
+        id_cate_dict=data.id_cate_dict,
+        item_image_loader=item_loader,
+        cnn_features_clip=cnn,
+        history_clipembs=hist_embs,
+        retrieval_candidates=data.retrieval_candidates.get(args.mode),
+        cate_iid_dict=data.cate_iid_dict,
+    )
+    grd = data.valid_grd if args.mode == "valid" else data.test_grd
+
+    fn = {
+        ("FITB", False): evaluate_fitb,
+        ("GOR", False): evaluate_gor,
+        ("FITB", True): evaluate_grounding_fitb,
+        ("GOR", True): evaluate_grounding_gor,
+    }[(args.task, args.grounding)]
+
+    for run in discover_runs(args.gen_dir, args.task):
+        log.info("evaluating %s ...", os.path.basename(run))
+        res = fn(run, ctx, grd)
+        log.info("== %s ==", os.path.basename(run))
+        for k, v in res.items():
+            log.info("  %s: %s", k, v)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""Training driver CLI.
+
+Equivalent of `python train.py <flags>` (`/root/reference/DiFashion/train.py:355-838`)
+re-designed TPU-first:
+
+  * all per-step work (VAE sample from cached moments, noising, conditioning, UNet
+    fwd/bwd, AdamW, EMA) is one jitted step on a `Mesh(("dp",))`;
+  * the host loop only assembles index-gathered dense batches (no PIL in the hot loop —
+    the reference's in-step image loading, `difashion.py:139-142`, becomes a one-off
+    catalog precompute);
+  * checkpoint every `checkpointing_steps` with retention, `--resume latest`
+    (`train.py:648-670,718-722`), hard stop at `max_train_steps` (`train.py:837`).
+
+Usage:
+  python -m difashion_tpu.cli.train --data_path datasets/polyvore \
+      --output_dir ckpt [--config cfg.json] [--pretrained_dir sd2-base/] \
+      [--max_train_steps N]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difashion_tpu.core.checkpoint import CheckpointStore
+from difashion_tpu.core.config import Config
+from difashion_tpu.core.logging import MetricLogger, StepTimer, setup_logging
+from difashion_tpu.data.datasets import FashionData, HistLatentStore, TrainLoader
+from difashion_tpu.data.precompute import load_processed, tokenize_outfits
+from difashion_tpu.data.tokenizer import load_tokenizer
+from difashion_tpu.engine.train import (
+    TrainBatch,
+    build_train_step,
+    make_mesh,
+    shard_train_step,
+)
+from difashion_tpu.models.difashion import create_difashion
+
+
+def assemble_batch(
+    batch: dict,
+    moments_mean: np.ndarray,
+    moments_logvar: np.ndarray,
+    input_ids_table: np.ndarray,   # [n_cate_rows, 77]
+    cid_row: dict,
+    hist_store: HistLatentStore,
+    scaling_factor: float,
+) -> TrainBatch:
+    """Host-side dense batch assembly from item/category ids (pure index gathers)."""
+    outfits = np.asarray(batch["outfits"])
+    category = np.asarray(batch["category"])
+    uids = np.asarray(batch["uids"])
+    B, olen = outfits.shape
+    flat = outfits.reshape(-1)
+    mean = moments_mean[flat].reshape((B, olen) + moments_mean.shape[1:])
+    logvar = moments_logvar[flat].reshape(mean.shape)
+    rows = np.vectorize(cid_row.get)(category)
+    ids = input_ids_table[rows.reshape(-1)].reshape(B, olen, -1)
+    hist = hist_store.gather(uids, category)
+    return TrainBatch(
+        images=None,
+        latent_mean=jnp.asarray(mean),
+        latent_logvar=jnp.asarray(logvar),
+        input_ids=jnp.asarray(ids.astype(np.int32)),
+        hist_latents=jnp.asarray(hist),
+    )
+
+
+def run_training(
+    cfg: Config,
+    data: FashionData,
+    moments_mean: np.ndarray,
+    moments_logvar: np.ndarray,
+    hist_store: HistLatentStore,
+    tokenizer,
+    pretrained_dir: Optional[str] = None,
+    max_steps: Optional[int] = None,
+    log_dir: Optional[str] = None,
+):
+    """The training loop as a library function (CLI and tests share it)."""
+    log = setup_logging()
+    tcfg = cfg.train
+    max_steps = max_steps or tcfg.max_train_steps
+    rng = jax.random.PRNGKey(tcfg.seed)
+    rng, init_rng = jax.random.split(rng)
+
+    dtype = jnp.bfloat16 if tcfg.mixed_precision == "bf16" else jnp.float32
+    model, params = create_difashion(
+        cfg.model, init_rng, dtype=dtype, remat=tcfg.gradient_checkpointing
+    )
+    if pretrained_dir:
+        from difashion_tpu.core.importer import import_sd_checkpoint
+
+        params = import_sd_checkpoint(pretrained_dir, params)
+        log.info("imported pretrained SD weights from %s", pretrained_dir)
+
+    step_fn, init_fn = build_train_step(model, tcfg)
+    state = init_fn(params)
+    dp = tcfg.dp_size
+    if dp <= 0:
+        # largest device count that divides the global batch (DP requires even shards)
+        ndev = jax.device_count()
+        dp = max(d for d in range(1, ndev + 1) if tcfg.train_batch_size % d == 0)
+    mesh = make_mesh(dp)
+    jitted, place_batch, place_repl = shard_train_step(step_fn, mesh)
+    log.info("mesh: %d devices (dp)", mesh.devices.size)
+
+    store = CheckpointStore(tcfg.output_dir, tcfg.checkpoints_total_limit)
+    if not store.has_frozen():
+        store.save_frozen({k: params[k] for k in model.frozen_keys})
+    start_step = 0
+    if tcfg.resume_from_checkpoint:
+        step = (None if tcfg.resume_from_checkpoint == "latest"
+                else int(tcfg.resume_from_checkpoint))
+        if store.latest_step() is not None:
+            state = store.load(state, step)
+            start_step = int(state.step)
+            log.info("resumed from checkpoint at step %d", start_step)
+
+    # per-category token-id table (prompts depend only on the category)
+    cids = sorted(data.id_cate_dict.keys()) if data.id_cate_dict else sorted(
+        {int(c) for c in data.train.category.reshape(-1)}
+    )
+    from difashion_tpu.data.prompts import build_train_prompts
+
+    id_cate = data.id_cate_dict or {c: f"category {c}" for c in cids}
+    ids_table = tokenizer(build_train_prompts(cids, id_cate))
+    cid_row = {c: i for i, c in enumerate(cids)}
+
+    null_latent = jnp.asarray(hist_store.null)
+    null_text = jnp.asarray(
+        np.asarray(jax.jit(model.encode_text)(params, jnp.asarray(tokenizer([""]))))[0]
+    )
+
+    loader = TrainLoader(
+        data.train, tcfg.train_batch_size, seed=tcfg.seed, shuffle=True
+    )
+    metrics_log = MetricLogger(log_dir or tcfg.output_dir)
+    timer = StepTimer(n_chips=mesh.devices.size)
+    sf = cfg.model.vae.scaling_factor
+
+    state = place_repl(state)
+    step = start_step
+    while step < max_steps:
+        host_batch = loader.batch_at(step)
+        batch = assemble_batch(
+            host_batch, moments_mean, moments_logvar, ids_table, cid_row,
+            hist_store, sf,
+        )
+        batch = place_batch(batch)
+        rng, step_rng = jax.random.split(rng)
+        timer.start()
+        state, m = jitted(state, batch, null_latent, null_text, step_rng)
+        jax.block_until_ready(m["loss"])
+        step += 1
+        t = timer.stop(tcfg.train_batch_size * data.train.outfits.shape[1])
+        metrics_log.log(step, loss=m["loss"], grad_norm=m.get("grad_norm", 0.0), **t)
+        if step % tcfg.checkpointing_steps == 0 or step >= max_steps:
+            store.save(state, step)
+            log.info("saved checkpoint-%d", step)
+    metrics_log.close()
+    return state, model
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DiFashion-TPU training")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--output_dir", default="ckpt")
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--pretrained_dir", default=None,
+                   help="local diffusers SD2-base dir (unet/ vae/ text_encoder/)")
+    p.add_argument("--tokenizer_dir", default=None)
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--train_batch_size", type=int, default=None)
+    p.add_argument("--eta", type=float, default=None)
+    p.add_argument("--snr_gamma", type=float, default=None)
+    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
+    args = p.parse_args(argv)
+
+    cfg = (Config.from_json(open(args.config).read()) if args.config
+           else (Config.preset_tiny() if args.tiny else Config.preset_eta01()))
+    overrides = {}
+    for k in ("max_train_steps", "learning_rate", "train_batch_size", "eta",
+              "snr_gamma", "resume_from_checkpoint"):
+        v = getattr(args, k)
+        if v is not None:
+            overrides[k] = v
+    overrides["output_dir"] = args.output_dir
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, **overrides))
+
+    data = FashionData.load(args.data_path)
+    proc = load_processed(args.data_path, "all_item_moments")
+    if proc is None:
+        raise SystemExit(
+            "catalog moments not found; run `python -m difashion_tpu.cli."
+            "extract_features --stage vae` first"
+        )
+    moments_mean, moments_logvar = proc["mean"], proc["logvar"]
+    all_latents = moments_mean * cfg.model.vae.scaling_factor
+    hist_store = HistLatentStore.from_catalog(
+        data.history.get("train", {}), all_latents
+    )
+    tokenizer = load_tokenizer(args.tokenizer_dir, cfg.model.text.vocab_size)
+    run_training(
+        cfg, data, moments_mean, moments_logvar, hist_store, tokenizer,
+        pretrained_dir=args.pretrained_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

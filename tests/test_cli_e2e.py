@@ -1,0 +1,127 @@
+"""Minimum end-to-end slice (SURVEY.md §7): train a few steps on synthetic data ->
+checkpoint -> restore with EMA -> FITB generation -> manifest + images on disk.
+Everything at tiny scale on the CPU mesh."""
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from difashion_tpu.core.config import Config
+from difashion_tpu.data.datasets import FashionData, HistLatentStore, OutfitTable
+from difashion_tpu.data.tokenizer import HashTokenizer
+
+
+def _synthetic_data(n_rows=8, n_items=20):
+    rng = np.random.RandomState(0)
+    outfits = rng.randint(1, n_items, size=(n_rows, 4))
+    table = OutfitTable(
+        uids=rng.randint(1, 4, n_rows),
+        oids=np.arange(100, 100 + n_rows),
+        outfits=outfits,
+        category=rng.randint(1, 6, size=(n_rows, 4)),
+    )
+    fitb = OutfitTable(
+        uids=table.uids.copy(), oids=table.oids.copy(),
+        outfits=outfits.copy(), category=table.category.copy(),
+    )
+    fitb.outfits[:, 0] = 0
+    grd = {
+        int(o): {"outfits": outfits[i].tolist(),
+                 "category": table.category[i].tolist()}
+        for i, o in enumerate(table.oids)
+    }
+    return FashionData(
+        train=table, fitb_valid=fitb, fitb_test=fitb,
+        valid_grd=grd, test_grd=grd,
+        history={"train": {1: {2: [3, 4]}}, "test": {1: {2: [3, 4]}}},
+        id_cate_dict={c: f"cate{c}" for c in range(1, 6)},
+        cate_iid_dict=None, retrieval_candidates={},
+    ), n_items
+
+
+@pytest.mark.slow
+def test_train_checkpoint_generate_e2e(tmp_path):
+    from difashion_tpu.cli.train import run_training
+    from difashion_tpu.cli.generate import load_model_for_inference, run_name
+    from difashion_tpu.engine.pipeline import GenerationPipeline
+
+    cfg = Config.preset_tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, output_dir=str(tmp_path / "ckpt"), checkpointing_steps=2,
+            train_batch_size=2, learning_rate=1e-4,
+        ),
+        generation=dataclasses.replace(
+            cfg.generation, num_inference_steps=2, fitb_batch_size=4
+        ),
+    )
+    data, n_items = _synthetic_data()
+    h = cfg.model.unet.sample_size
+    C = cfg.model.vae.latent_channels
+    rng = np.random.RandomState(1)
+    mean = rng.randn(n_items, h, h, C).astype(np.float32) * 0.5
+    logvar = np.full_like(mean, -6.0)
+    all_latents = mean * cfg.model.vae.scaling_factor
+    hist = HistLatentStore.from_catalog(data.history["train"], all_latents)
+    tok = HashTokenizer(vocab_size=cfg.model.text.vocab_size)
+
+    state, model = run_training(
+        cfg, data, mean, logvar, hist, tok, max_steps=3,
+        log_dir=str(tmp_path / "logs"),
+    )
+    assert int(state.step) == 3
+    ckpts = os.listdir(tmp_path / "ckpt")
+    assert "checkpoint-2" in ckpts and "checkpoint-3" in ckpts
+    assert "frozen.msgpack" in ckpts
+    # metrics jsonl written
+    assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
+
+    # restore (EMA swapped in) and generate
+    model2, params2, step = load_model_for_inference(cfg, str(tmp_path / "ckpt"))
+    assert step == 3
+    pipe = GenerationPipeline(
+        model2, params2, cfg, data.id_cate_dict, tok,
+        HistLatentStore.from_catalog(data.history["test"], all_latents),
+        item_latents=all_latents,
+    )
+    run_dir = pipe.run(
+        data.fitb_test, "FITB", str(tmp_path / "gen"),
+        run_name("FITB", step, cfg), grd_dict=data.test_grd, max_batches=1,
+    )
+    man = np.load(run_dir + ".npy", allow_pickle=True).item()
+    n = sum(len(v) for v in man.values())
+    assert n == 4  # one batch of 4 outfits, one fill each
+    first = next(iter(next(iter(man.values())).values()))
+    assert os.path.exists(first["image_paths"][0])
+
+
+@pytest.mark.slow
+def test_resume_training_continues(tmp_path):
+    from difashion_tpu.cli.train import run_training
+
+    cfg = Config.preset_tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, output_dir=str(tmp_path / "ckpt"), checkpointing_steps=2,
+            train_batch_size=2, resume_from_checkpoint="latest",
+        ),
+    )
+    data, n_items = _synthetic_data()
+    h, C = cfg.model.unet.sample_size, cfg.model.vae.latent_channels
+    rng = np.random.RandomState(2)
+    mean = rng.randn(n_items, h, h, C).astype(np.float32) * 0.5
+    logvar = np.full_like(mean, -6.0)
+    hist = HistLatentStore.from_catalog(
+        data.history["train"], mean * cfg.model.vae.scaling_factor
+    )
+    tok = HashTokenizer(vocab_size=cfg.model.text.vocab_size)
+
+    state1, _ = run_training(cfg, data, mean, logvar, hist, tok, max_steps=2)
+    assert int(state1.step) == 2
+    # second call resumes from checkpoint-2 and continues to 4
+    state2, _ = run_training(cfg, data, mean, logvar, hist, tok, max_steps=4)
+    assert int(state2.step) == 4
