@@ -24,8 +24,13 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_kv, kv_len, kv_padded):
-    """One (batch*head, q-block) program: online softmax over KV blocks."""
-    q = q_ref[0].astype(jnp.float32) * scale            # [block_q, d]
+    """One (batch*head, q-block) program: online softmax over KV blocks.
+
+    MXU discipline: the two matmuls run in the INPUT dtype (bf16 on TPU) with fp32
+    accumulation via preferred_element_type — upcasting operands first would force
+    8x-slower fp32 MXU passes. Only the softmax statistics live in fp32.
+    """
+    q = (q_ref[0] * jnp.asarray(scale, q_ref.dtype))    # [block_q, d], input dtype
     block_q, d = q.shape
     num_kv_blocks = kv_padded // block_kv
 
@@ -35,11 +40,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_kv, kv_len, kv_pad
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                               # [block_q, block_kv]
+        )                                               # [block_q, block_kv] fp32
         if kv_len != kv_padded:
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(col + i * block_kv < kv_len, s, NEG_INF)
@@ -47,7 +52,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_kv, kv_len, kv_pad
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = alpha * acc + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_new = alpha * acc + pv
         return acc_new, m_new, l_new
 
     acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc0, m0, l0))
@@ -66,8 +75,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 128,
-    block_kv: int = 256,
+    block_q: int = 512,
+    block_kv: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention.
