@@ -78,16 +78,30 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         )
     else:
         raise ValueError(f"unknown lr scheduler {cfg.lr_scheduler!r}")
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
+    if cfg.scale_lr:
+        # reference rule (train.py:567-570): lr *= accum * bsz * world_size
+        import numpy as _np
+
+        world = max(1, jax.device_count() if cfg.dp_size <= 0 else cfg.dp_size)
+        factor = cfg.gradient_accumulation_steps * cfg.train_batch_size * world
+        lr = (lr * factor if not callable(lr)
+              else (lambda s, _lr=lr, _f=factor: _lr(s) * _f))
+    if cfg.use_8bit_adam:
+        from difashion_tpu.engine.optim8bit import adamw8bit
+
+        opt = adamw8bit(
+            lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+        )
+    else:
+        opt = optax.adamw(
             lr,
             b1=cfg.adam_beta1,
             b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon,
             weight_decay=cfg.adam_weight_decay,
-        ),
-    )
+        )
+    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
 
 
 def split_params(params):
