@@ -74,7 +74,8 @@ def main():
     )
 
     # GOR: 1 outfit, all 4 slots generated -> F=4, UNet batch 16 per step
-    B, olen = 1, 4
+    import os as _os
+    B, olen = int(_os.environ.get("BENCH_OUTFITS", "1")), 4
     F = B * olen
     gen_mask = jnp.ones((B, olen), bool)
     gen_index = jnp.arange(F, dtype=jnp.int32).reshape(B, olen)
