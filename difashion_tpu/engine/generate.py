@@ -246,6 +246,30 @@ def build_sampler(
     return sample
 
 
+def shard_generation_inputs(inputs: GenerationInputs, mesh) -> GenerationInputs:
+    """Place generation inputs for multi-chip DP sampling: per-fill arrays sharded on
+    'dp' along their leading axis, per-outfit arrays likewise, broadcast conditions
+    replicated. Outfits are contiguous in the fill list, so the mutual-condition
+    gather stays shard-local for GOR and XLA inserts the (tiny) collectives for
+    mixed FITB batches. Params should be replicated by the caller.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+    return GenerationInputs(
+        init_latents=jax.device_put(inputs.init_latents, dp),
+        outfit_idx=jax.device_put(inputs.outfit_idx, dp),
+        known_latents=jax.device_put(inputs.known_latents, dp),
+        gen_mask=jax.device_put(inputs.gen_mask, dp),
+        gen_index=jax.device_put(inputs.gen_index, dp),
+        hist_latents=jax.device_put(inputs.hist_latents, dp),
+        cate_text=jax.device_put(inputs.cate_text, dp),
+        null_text=jax.device_put(inputs.null_text, repl),
+        null_latent=jax.device_put(inputs.null_latent, repl),
+    )
+
+
 def decode_and_postprocess(model: DiFashionModel, params, latents) -> jnp.ndarray:
     """VAE decode + denormalize to [0, 1] (reference `difashion.py:579-592`:
     `image_processor.postprocess(..., do_denormalize=True)`)."""
