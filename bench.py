@@ -15,11 +15,18 @@ typical 40% fp16 utilization => ~0.55 outfit-images/sec. Recorded as an estimate
 GPU measurement exists (see BASELINE.md).
 """
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: the 51-step scan over the 866M UNet takes ~20 min to
+# compile through the remote-compile tunnel; cached executables make reruns ~instant.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 ESTIMATED_REF_IMAGES_PER_SEC = 0.55  # PyTorch+xformers A100 fp16 estimate (see module doc)
 
