@@ -79,6 +79,55 @@ def tokenize_outfits(table: OutfitTable, id_cate_dict, tokenizer) -> np.ndarray:
     return ids[rows].astype(np.int32)                # [N, olen, 77]
 
 
+def build_processed_cache(
+    data_path: str,
+    data,
+    id_cate_dict,
+    tokenizer,
+    moments: dict,
+    scaling_factor: float,
+) -> dict:
+    """Materialize the reference's `processed/` cache contract
+    (`/root/reference/DiFashion/data_utils.py:87-161` + SURVEY.md §2d):
+
+      new_train.npz / new_fitb_valid.npz / new_fitb_test.npz — outfit tables with
+        per-outfit tokenized `input_ids` [olen, 77] added;
+      all_item_latents.npy — mode() * scaling_factor per item;
+      {split}_hist_latents.npy — {uid: {cid: mean latent}} + "null" entry.
+
+    Plus the TPU-first extra `all_item_moments.npz` (mean, logvar) so training keeps
+    fresh-sample semantics. Returns {table_name: path}.
+    """
+    out = {}
+    pdir = os.path.join(data_path, "processed")
+    os.makedirs(pdir, exist_ok=True)
+
+    all_latents = moments_to_scaled_modes(moments, scaling_factor)
+    np.save(os.path.join(pdir, "all_item_latents.npy"), all_latents)
+    np.savez(os.path.join(pdir, "all_item_moments.npz"), **moments)
+    out["all_item_latents"] = os.path.join(pdir, "all_item_latents.npy")
+
+    for name, table in (("new_train", data.train),
+                        ("new_fitb_valid", data.fitb_valid),
+                        ("new_fitb_test", data.fitb_test)):
+        if table is None:
+            continue
+        ids = tokenize_outfits(table, id_cate_dict, tokenizer)
+        p = os.path.join(pdir, name + ".npz")
+        np.savez(p, uids=table.uids, oids=table.oids, outfits=table.outfits,
+                 category=table.category, input_ids=ids)
+        out[name] = p
+
+    for split, hist in data.history.items():
+        store = HistLatentStore.from_catalog(hist, all_latents)
+        payload = dict(store.hist)
+        payload["null"] = store.null
+        p = os.path.join(pdir, f"{split}_hist_latents.npy")
+        np.save(p, np.array(payload, dtype=object))
+        out[f"{split}_hist_latents"] = p
+    return out
+
+
 def save_processed(data_path: str, name: str, **arrays):
     os.makedirs(os.path.join(data_path, "processed"), exist_ok=True)
     np.savez(os.path.join(data_path, "processed", name + ".npz"), **arrays)
