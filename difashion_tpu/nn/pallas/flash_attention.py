@@ -1,14 +1,21 @@
-"""Pallas TPU flash-attention kernel.
+"""Pallas TPU flash attention — forward AND backward kernels (training-grade).
 
 TPU-native replacement for the xformers memory-efficient attention the reference enables
-on its UNet (`/root/reference/DiFashion/models/difashion.py:109-120`). The hot case is the
-UNet's top-level self-attention: 4096 tokens (64x64 latents) x 64-dim heads; cross-attention
-(77 text tokens) also routes through here with right-padded KV masked out.
+on its UNet (`/root/reference/DiFashion/models/difashion.py:109-120`), used in both the
+sampling loop and the training step (so it needs a VJP). The hot case is the UNet's
+top-level self-attention: 4096 tokens (64x64 latents) x 64-dim heads; cross-attention
+(77 text tokens) routes through the same kernels with right-padded KV masked out.
 
-Design: classic blocked flash attention. Grid = (batch*heads, Sq/block_q); each program
-streams KV blocks through VMEM with an online-softmax running (max, denom) carried as
-register values, accumulating the weighted values in fp32. No materialized [Sq, Skv]
-matrix ever touches HBM.
+Design (FA2-style):
+  * forward: grid (batch*heads, Sq/block_q); online softmax over KV blocks with the
+    running (max, denom) carried as register values; emits O and the per-row
+    logsumexp L as residuals. MXU dots run in the input dtype (bf16) with fp32
+    accumulation — upcasting operands first would force 8x-slower fp32 MXU passes.
+  * backward dQ: same grid; recomputes P = exp(S - L) per KV block,
+    dQ += (P * (dO V^T - D)) K * scale, with D = rowsum(dO * O) precomputed in XLA.
+  * backward dK/dV: grid (batch*heads, Skv/block_kv); loops Q blocks,
+    dV += P^T dO and dK += (P * (dO V^T - D))^T Q * scale.
+No [Sq, Skv] matrix ever touches HBM in either direction.
 """
 from __future__ import annotations
 
@@ -23,16 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_kv, kv_len, kv_padded):
-    """One (batch*head, q-block) program: online softmax over KV blocks.
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
-    MXU discipline: the two matmuls run in the INPUT dtype (bf16 on TPU) with fp32
-    accumulation via preferred_element_type — upcasting operands first would force
-    8x-slower fp32 MXU passes. Only the softmax statistics live in fp32.
-    """
-    q = (q_ref[0] * jnp.asarray(scale, q_ref.dtype))    # [block_q, d], input dtype
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv, kv_len,
+                kv_padded):
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)      # [block_q, d]
     block_q, d = q.shape
-    num_kv_blocks = kv_padded // block_kv
+    num_kv = kv_padded // block_kv
 
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
@@ -44,7 +54,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_kv, kv_len, kv_pad
         v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                               # [block_q, block_kv] fp32
+        )
         if kv_len != kv_padded:
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(col + i * block_kv < kv_len, s, NEG_INF)
@@ -56,20 +66,217 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_kv, kv_len, kv_pad
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_new = alpha * acc + pv
-        return acc_new, m_new, l_new
+        return alpha * acc + pv, m_new, l_new
 
-    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+def _forward(q, k, v, scale, block_q, block_kv, interpret, kv_len):
+    """q [bh, sq_pad, d]; k, v [bh, skv_pad, d] -> (o, lse [bh, sq_pad] fp32)."""
+    bh, sq_pad, d = q.shape
+    skv_pad = k.shape[1]
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, block_kv=block_kv, kv_len=kv_len,
+        kv_padded=skv_pad,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_pad), jnp.float32),
+        ),
+        grid=(bh, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q, k, v)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret")
-)
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+               scale, block_kv, kv_len, kv_padded):
+    q = q_ref[0]                                        # [block_q, d] input dtype
+    do = do_ref[0]
+    lse = lse_ref[0][:, None]                           # [block_q, 1] fp32
+    delta = delta_ref[0][:, None]
+    block_q, d = q.shape
+    num_kv = kv_padded // block_kv
+    qs = q * jnp.asarray(scale, q.dtype)
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse)
+        if kv_len != kv_padded:
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            p = jnp.where(col + i * block_kv < kv_len, p, 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dq_inc = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dq + dq_inc
+
+    dq = jax.lax.fori_loop(0, num_kv, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *,
+                scale, block_q, q_padded, kv_len, block_kv):
+    k = k_ref[0]                                        # [block_kv, d]
+    v = v_ref[0]
+    num_q = q_padded // block_q
+    kv_start = pl.program_id(1) * block_kv
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        qs = q * jnp.asarray(scale, q.dtype)
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                               # [block_q, block_kv]
+        p = jnp.exp(s - lse)
+        if kv_len is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            p = jnp.where(col + kv_start < kv_len, p, 0.0)
+        dv_inc = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [block_kv, d]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk_inc = jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [block_kv, d]
+        return dk + dk_inc, dv + dv_inc
+
+    z = jnp.zeros(k.shape, jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (z, z))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _backward(q, k, v, o, lse, do, scale, block_q, block_kv, interpret, kv_len):
+    bh, sq_pad, d = q.shape
+    skv_pad = k.shape[1]
+    # D = rowsum(dO * O): cheap elementwise, fused by XLA outside the kernels.
+    # Padded q rows contribute p==0 via their lse; their delta values are unused.
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, block_kv=block_kv, kv_len=kv_len,
+            kv_padded=skv_pad,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
+        grid=(bh, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, block_q=block_q, q_padded=sq_pad,
+            kv_len=kv_len if kv_len != skv_pad else None, block_kv=block_kv,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, skv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv_pad, d), v.dtype),
+        ),
+        grid=(bh, skv_pad // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, sq_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_kv, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp core over padded [bh, S, d] arrays
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_core(q, k, v, scale, block_q, block_kv, interpret, kv_len):
+    o, _ = _forward(q, k, v, scale, block_q, block_kv, interpret, kv_len)
+    return o
+
+
+def _flash_core_fwd(q, k, v, scale, block_q, block_kv, interpret, kv_len):
+    o, lse = _forward(q, k, v, scale, block_q, block_kv, interpret, kv_len)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_core_bwd(scale, block_q, block_kv, interpret, kv_len, res, do):
+    q, k, v, o, lse = res
+    return _backward(q, k, v, o, lse, do, scale, block_q, block_kv, interpret,
+                     kv_len)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -79,12 +286,12 @@ def flash_attention(
     block_kv: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Non-causal multi-head attention.
+    """Non-causal multi-head attention with Pallas forward + backward.
 
     Args:
       q: [B, H, Sq, D]
-      k, v: [B, H, Skv, D]  (Skv may be ragged, e.g. 77 text tokens; padded internally)
-    Returns: [B, H, Sq, D], dtype of q.
+      k, v: [B, H, Skv, D] (Skv may be ragged, e.g. 77 text tokens; padded + masked)
+    Returns: [B, H, Sq, D], dtype of q. Differentiable w.r.t. q/k/v.
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -105,26 +312,5 @@ def flash_attention(
         kf = jnp.pad(kf, [(0, 0), (0, skv_pad - skv), (0, 0)])
         vf = jnp.pad(vf, [(0, 0), (0, skv_pad - skv), (0, 0)])
 
-    grid = (b * h, sq_pad // block_q)
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, block_kv=block_kv, kv_len=skv, kv_padded=skv_pad
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(qf, kf, vf)
-
-    out = out[:, :sq, :].reshape(b, h, sq, d)
-    return out
+    out = _flash_core(qf, kf, vf, scale, block_q, block_kv, interpret, skv)
+    return out[:, :sq, :].reshape(b, h, sq, d)

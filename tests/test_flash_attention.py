@@ -49,6 +49,52 @@ def test_flash_bf16_precision():
     )
 
 
+@pytest.mark.parametrize(
+    "b,h,sq,skv,d",
+    [
+        (1, 2, 256, 256, 64),    # self-attention
+        (1, 1, 256, 77, 32),     # ragged cross-attention KV
+        (2, 1, 130, 140, 32),    # both dims ragged/padded
+    ],
+)
+def test_flash_backward_matches_reference_grads(b, h, sq, skv, d):
+    """Custom-VJP (dq/dkv Pallas kernels) vs jax.grad of the XLA reference."""
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, skv, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, skv, d), jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_kv=128, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_ref(q, k, v)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_flash_backward_value_and_grad_finite_bf16():
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(ks[0], (1, 2, 256, 64), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (1, 2, 256, 64), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (1, 2, 256, 64), jnp.bfloat16)
+    val, grads = jax.value_and_grad(
+        lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, interpret=True).astype(jnp.float32) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    assert np.isfinite(float(val))
+    for g in grads:
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
 def test_sdpa_dispatch_equivalence():
     """sdpa with and without flash must agree (flash forced via interpret path)."""
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
