@@ -1,0 +1,33 @@
+"""Unified CLI dispatcher: `python -m difashion_tpu <command> [...]`.
+
+Commands mirror the reference's public entry points (`/root/reference/README.md:183-206`):
+  train              fine-tune DiFashion (run_eta0.1.sh recipe by default)
+  generate           FITB/GOR inference for evaluation (inf4eval equivalent)
+  evaluate           metric cascades over generated runs (Evaluation/ equivalent)
+  extract-features   catalog VAE moments + CLIP features + history means
+"""
+import sys
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, argv = sys.argv[1], sys.argv[2:]
+    if cmd == "train":
+        from difashion_tpu.cli.train import main as run
+    elif cmd == "generate":
+        from difashion_tpu.cli.generate import main as run
+    elif cmd == "evaluate":
+        from difashion_tpu.cli.evaluate import main as run
+    elif cmd in ("extract-features", "extract_features"):
+        from difashion_tpu.cli.extract_features import main as run
+    else:
+        print(f"unknown command {cmd!r}\n{__doc__}")
+        return 2
+    run(argv)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
