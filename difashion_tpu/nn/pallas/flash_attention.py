@@ -70,7 +70,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv, kv_len,
 
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    # lse is materialized as [8 sublanes, block_q] (TPU block shapes need the
+    # second-to-last dim divisible by 8); all 8 rows carry the same values.
+    lse = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
 def _forward(q, k, v, scale, block_q, block_kv, interpret, kv_len):
@@ -85,7 +88,7 @@ def _forward(q, k, v, scale, block_q, block_kv, interpret, kv_len):
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((bh, sq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, sq_pad), jnp.float32),
         ),
         grid=(bh, sq_pad // block_q),
         in_specs=[
@@ -99,7 +102,7 @@ def _forward(q, k, v, scale, block_q, block_kv, interpret, kv_len):
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
@@ -114,8 +117,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                scale, block_kv, kv_len, kv_padded):
     q = q_ref[0]                                        # [block_q, d] input dtype
     do = do_ref[0]
-    lse = lse_ref[0][:, None]                           # [block_q, 1] fp32
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0, 0][:, None]                        # [block_q, 1] fp32
+    delta = delta_ref[0, 0][:, None]
     block_q, d = q.shape
     num_kv = kv_padded // block_kv
     qs = q * jnp.asarray(scale, q.dtype)
@@ -155,8 +158,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :]
         do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         qs = q * jnp.asarray(scale, q.dtype)
         s = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -190,7 +193,9 @@ def _backward(q, k, v, o, lse, do, scale, block_q, block_kv, interpret, kv_len):
     skv_pad = k.shape[1]
     # D = rowsum(dO * O): cheap elementwise, fused by XLA outside the kernels.
     # Padded q rows contribute p==0 via their lse; their delta values are unused.
+    # Same (bh, 8, sq) sublane-broadcast layout as lse (TPU block-shape rule).
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, sq_pad))
 
     dq = pl.pallas_call(
         functools.partial(
@@ -208,9 +213,9 @@ def _backward(q, k, v, o, lse, do, scale, block_q, block_kv, interpret, kv_len):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
@@ -237,9 +242,9 @@ def _backward(q, k, v, o, lse, do, scale, block_q, block_kv, interpret, kv_len):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sq_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 8, sq_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 8, sq_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
