@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("--cnn_features_npy", default=None,
                    help="cnn_features_clip.npy (iid -> 1024-d CLIP emb)")
     p.add_argument("--hist_clipembs_npy", default=None)
+    p.add_argument("--cid_to_label_npy", default=None,
+                   help="finetuned-Inception {cid: class row} map "
+                        "(reference Evaluation/finetuned_inception/cid_to_label.npy)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
@@ -66,6 +69,8 @@ def main(argv=None):
            if args.cnn_features_npy else None)
     hist_embs = (np.load(args.hist_clipembs_npy, allow_pickle=True).item()
                  if args.hist_clipembs_npy else None)
+    cid_to_label = (np.load(args.cid_to_label_npy, allow_pickle=True).item()
+                    if args.cid_to_label_npy else None)
 
     def item_loader(iid: int):
         from difashion_tpu.eval.drivers import load_image01
@@ -85,6 +90,7 @@ def main(argv=None):
         history_clipembs=hist_embs,
         retrieval_candidates=data.retrieval_candidates.get(args.mode),
         cate_iid_dict=data.cate_iid_dict,
+        cid_to_label=cid_to_label,
     )
     grd = data.valid_grd if args.mode == "valid" else data.test_grd
 
