@@ -26,6 +26,8 @@ def main():
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--adam8bit", action="store_true")
+    p.add_argument("--no_ema", action="store_true")
     args = p.parse_args()
 
     from difashion_tpu.core.config import ModelConfig, TrainConfig
@@ -37,6 +39,9 @@ def main():
         train_batch_size=args.batch,
         gradient_accumulation_steps=args.accum,
         gradient_checkpointing=args.remat,
+        use_8bit_adam=args.adam8bit,
+        use_ema=not args.no_ema,
+        use_ema_fashion=not args.no_ema,
     )
     model, params = create_difashion(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, remat=args.remat
@@ -69,8 +74,9 @@ def main():
 
     n_chips = jax.device_count()
     print(json.dumps({
-        "metric": "train_step_time_s_bsz%d_bf16%s" % (
-            args.batch, "_remat" if args.remat else ""
+        "metric": "train_step_time_s_bsz%d_bf16%s%s" % (
+            args.batch, "_remat" if args.remat else "",
+            "_adam8bit" if args.adam8bit else "",
         ),
         "value": round(dt, 4),
         "unit": "s/step",
