@@ -332,3 +332,37 @@ def shard_train_step(train_step, mesh: Mesh):
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)
 
     return jitted, place_batch, place_replicated
+
+
+def place_state_zero1(state: TrainState, mesh: Mesh) -> TrainState:
+    """ZeRO-1-style placement: params replicated, optimizer moments + EMA sharded over
+    'dp' along their leading dim (leaves not divisible by the dp size stay replicated).
+
+    Under jit's global-view semantics XLA then computes each chip's slice of the
+    optimizer update from its local moment shard and all-gathers the parameter delta —
+    an 8x optimizer-memory saving on a v5e-8 slice with no algorithm change. The
+    reference has no analogue (single-GPU, full-state Adam); this is what makes the
+    866M-param fp32-state recipe fit comfortably per-chip at scale.
+    """
+    ndev = mesh.devices.size
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("dp"))
+
+    def place(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % ndev == 0 and \
+                x.shape[0] > 0:
+            return jax.device_put(x, shard)
+        return jax.device_put(x, repl)
+
+    params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state.params)
+    opt_state = jax.tree_util.tree_map(place, state.opt_state)
+    ema = state.ema
+    if ema is not None:
+        ema = EMAState(
+            params=jax.tree_util.tree_map(place, ema.params),
+            step=jax.device_put(ema.step, repl),
+        )
+    return TrainState(
+        params=params, opt_state=opt_state, ema=ema,
+        step=jax.device_put(state.step, repl),
+    )

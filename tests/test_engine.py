@@ -299,3 +299,32 @@ def test_dp_sharded_step_matches_single_device(tiny_model):
     np.testing.assert_allclose(
         float(m_single["loss"]), float(m_dp["loss"]), rtol=1e-4
     )
+
+
+def test_zero1_state_sharding_matches_replicated(tiny_model):
+    """ZeRO-1 placement (sharded moments + EMA) must not change the math."""
+    from difashion_tpu.engine.train import place_state_zero1
+
+    cfg, model, params = tiny_model
+    tcfg = TrainConfig(learning_rate=1e-3)
+    step_fn, init_fn = build_train_step(model, tcfg)
+    state = init_fn(params)
+    batch = _train_batch(cfg, jax.random.PRNGKey(11), B=8)
+    hdim, C = cfg.unet.sample_size, cfg.vae.latent_channels
+    null_lat = jnp.zeros((hdim, hdim, C))
+    null_text = jnp.zeros((77, cfg.text.hidden_size))
+    rng = jax.random.PRNGKey(12)
+
+    mesh = make_mesh()
+    jitted, place_batch, place_repl = shard_train_step(step_fn, mesh)
+
+    s_repl, m_repl = jitted(place_repl(state), place_batch(batch),
+                            null_lat, null_text, rng)
+    s_z1, m_z1 = jitted(place_state_zero1(state, mesh), place_batch(batch),
+                        null_lat, null_text, rng)
+    np.testing.assert_allclose(float(m_repl["loss"]), float(m_z1["loss"]),
+                               rtol=1e-5)
+    a = jax.tree_util.tree_leaves(s_repl.params["unet"])[0]
+    b = jax.tree_util.tree_leaves(s_z1.params["unet"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
