@@ -113,14 +113,19 @@ def main():
         return decode_and_postprocess(model, params, lat)
 
     jitted = jax.jit(run)
-    imgs = jax.block_until_ready(jitted(params, inputs))  # compile + warmup
+    imgs = jitted(params, inputs)                          # compile + warmup
     assert imgs.shape == (F, 512, 512, 3)
+    float(imgs[0, 0, 0, 0])  # host-transfer sync (remote backend's
+    # block_until_ready can resolve before execution completes)
 
     n_iters = 3
     t0 = time.perf_counter()
+    prev = None
     for _ in range(n_iters):
+        # chain iterations through the input so they can't overlap, then sync
+        # on a transferred value
         imgs = jitted(params, inputs)
-    jax.block_until_ready(imgs)
+        float(imgs[0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / n_iters
 
     n_chips = jax.device_count()

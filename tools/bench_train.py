@@ -19,6 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -63,13 +68,15 @@ def main():
 
     jitted = jax.jit(step_fn, donate_argnums=(0,))
     state, m = jitted(state, batch, null_lat, null_text, jax.random.PRNGKey(2))
-    jax.block_until_ready(m["loss"])
+    # float() forces a host transfer: the remote backend's block_until_ready
+    # resolves before execution completes, so sync on the value instead.
+    float(m["loss"])
 
     t0 = time.perf_counter()
     for i in range(args.iters):
         state, m = jitted(state, batch, null_lat, null_text,
                           jax.random.PRNGKey(3 + i))
-    jax.block_until_ready(m["loss"])
+    final_loss = float(m["loss"])   # chain-dependent: waits for all steps
     dt = (time.perf_counter() - t0) / args.iters
 
     n_chips = jax.device_count()
@@ -81,7 +88,7 @@ def main():
         "value": round(dt, 4),
         "unit": "s/step",
         "images_per_sec_per_chip": round(B * olen / dt / n_chips, 3),
-        "loss": float(m["loss"]),
+        "loss": final_loss,
     }))
 
 
