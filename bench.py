@@ -120,7 +120,6 @@ def main():
 
     n_iters = 3
     t0 = time.perf_counter()
-    prev = None
     for _ in range(n_iters):
         # chain iterations through the input so they can't overlap, then sync
         # on a transferred value
