@@ -85,6 +85,7 @@ class GenerationPipeline:
         hist_store: HistLatentStore,
         item_latents: Optional[np.ndarray] = None,  # [N, h, w, C] scaled mode latents
         null_latent: Optional[np.ndarray] = None,   # [h, w, C] scaled white latent
+        item_image_loader=None,  # optional iid -> [H, W, 3] uint8/float (grd.jpg merge)
     ):
         self.model = model
         self.params = params
@@ -92,6 +93,7 @@ class GenerationPipeline:
         self.tokenizer = tokenizer
         self.hist_store = hist_store
         self.item_latents = item_latents
+        self.item_image_loader = item_image_loader
         g = config.generation
         self.spec = make_guidance_spec(
             g.category_guidance_scale, g.hist_guidance_scale,
@@ -280,6 +282,19 @@ class GenerationPipeline:
                 save_jpeg(
                     merge_images_grid(imgs[np.asarray(ks)]),
                     os.path.join(folder, "all.jpg"),
+                )
+            if (task == "FITB" and self.item_image_loader is not None
+                    and grd_dict is not None and oid in grd_dict):
+                # merged ground-truth outfit image (reference inf4eval.py:800-807)
+                g_imgs = []
+                for iid in grd_dict[oid]["outfits"]:
+                    im = np.asarray(self.item_image_loader(int(iid)))
+                    if im.dtype != np.uint8:
+                        im = np.clip(im * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                    g_imgs.append(im)
+                save_jpeg(
+                    merge_images_grid(np.stack(g_imgs)),
+                    os.path.join(folder, "grd.jpg"),
                 )
             rec = {
                 "cates": [int(prep.fill_cate[k]) for k in ks],
