@@ -27,6 +27,18 @@ from difashion_tpu.data.preprocessing import load_catalog_image
 
 
 def make_item_loader(img_folder: str, image_paths, size: int):
+    """Prefers the native C++ pipeline (libjpeg/libpng + threaded Lanczos) when built;
+    falls back to the PIL path."""
+    from difashion_tpu.data import native
+
+    if native.native_available():
+        def load_native(iid: int):
+            return native.prepare_image(
+                os.path.join(img_folder, str(image_paths[iid])), size=size
+            )
+
+        return load_native
+
     def load(iid: int):
         return load_catalog_image(
             os.path.join(img_folder, str(image_paths[iid])), size=size

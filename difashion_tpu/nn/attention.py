@@ -163,6 +163,8 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(h)
-        out = sdpa(q[:, None], k[:, None], v[:, None], use_flash=False)[:, 0]
+        # 512px inputs give a 4096-token single-head attention here; the flash
+        # kernel auto-engages on TPU (d=512 is 4 lanes wide, still MXU-friendly)
+        out = sdpa(q[:, None], k[:, None], v[:, None])[:, 0]
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return out.reshape(b, hgt, wid, c) + residual
