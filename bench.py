@@ -20,7 +20,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Persistent compilation cache: the 51-step scan over the 866M UNet takes ~20 min to
 # compile through the remote-compile tunnel; cached executables make reruns ~instant.

@@ -12,7 +12,6 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from difashion_tpu.core.config import Config

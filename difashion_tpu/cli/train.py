@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import os
-import time
 from typing import Optional
 
 import jax
@@ -32,7 +30,7 @@ from difashion_tpu.core.checkpoint import CheckpointStore
 from difashion_tpu.core.config import Config
 from difashion_tpu.core.logging import MetricLogger, StepTimer, setup_logging
 from difashion_tpu.data.datasets import FashionData, HistLatentStore, TrainLoader
-from difashion_tpu.data.precompute import load_processed, tokenize_outfits
+from difashion_tpu.data.precompute import load_processed
 from difashion_tpu.data.tokenizer import load_tokenizer
 from difashion_tpu.engine.train import (
     TrainBatch,

@@ -12,11 +12,8 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
-
-def _frozen(**kw):
-    return dataclass(frozen=True, **kw)
 
 
 @dataclass(frozen=True)

@@ -12,7 +12,7 @@ upload (the reference keeps NCHW torch tensors).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

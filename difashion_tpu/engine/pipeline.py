@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from difashion_tpu.core.config import Config
-from difashion_tpu.data.datasets import FashionData, HistLatentStore, OutfitTable
+from difashion_tpu.data.datasets import HistLatentStore, OutfitTable
 from difashion_tpu.data.preprocessing import denormalize_to_uint8
 from difashion_tpu.data.prompts import build_train_prompts
 from difashion_tpu.engine.generate import (

@@ -17,7 +17,6 @@ re-designed TPU-first:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -80,8 +79,6 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         raise ValueError(f"unknown lr scheduler {cfg.lr_scheduler!r}")
     if cfg.scale_lr:
         # reference rule (train.py:567-570): lr *= accum * bsz * world_size
-        import numpy as _np
-
         world = max(1, jax.device_count() if cfg.dp_size <= 0 else cfg.dp_size)
         factor = cfg.gradient_accumulation_steps * cfg.train_batch_size * world
         lr = (lr * factor if not callable(lr)

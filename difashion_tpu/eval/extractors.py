@@ -10,7 +10,7 @@ tests still work; quality numbers require real weights — documented in BASELIN
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -18,12 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from difashion_tpu.eval.models.compat import (
-    FashionEvaluator,
     import_compat_params,
     init_fashion_evaluator,
 )
 from difashion_tpu.eval.models.inception import (
-    InceptionV3,
     import_inception_params,
     init_inception,
 )

@@ -11,7 +11,6 @@ the split the training engine and checkpoint layout use (reference freezes vae+t
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ by the up blocks (3 resnets each = layers_per_block+1).
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

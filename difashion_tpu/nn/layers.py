@@ -7,7 +7,7 @@ reference's NCHW), params are fp32 with a configurable compute dtype (bf16 on TP
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
