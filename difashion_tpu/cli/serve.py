@@ -1,0 +1,145 @@
+"""Serving entry point: a persistent generation service over HTTP.
+
+Beyond the reference's batch-offline surface: holds the compiled sampler resident (no
+per-request compile), serves FITB/GOR requests as JSON, returns base64 JPEGs. Built on
+stdlib http.server — production deployments would front this with their own RPC layer;
+the value here is the warm-model request path (one jitted scan per request batch).
+
+  POST /generate  {"task": "FITB"|"GOR",
+                   "uids": [..], "oids": [..],
+                   "outfits": [[iid x4], ...],    # 0 = slot to generate
+                   "category": [[cid x4], ...],
+                   "seed": 123}
+  -> {"images": {"<uid>/<oid>": ["<base64 jpeg>", ...]}, "latency_s": ...}
+
+  GET /healthz -> {"status": "ok", "devices": N}
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import numpy as np
+
+
+class GenerationService:
+    """Warm-model request handler shared by the HTTP layer and tests."""
+
+    def __init__(self, pipeline, max_batch: int = 16):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+
+    def generate(self, req: dict) -> dict:
+        task = req.get("task", "FITB")
+        batch = {
+            "uids": np.asarray(req["uids"], np.int64),
+            "oids": np.asarray(req["oids"], np.int64),
+            "outfits": np.asarray(req["outfits"], np.int64),
+            "category": np.asarray(req["category"], np.int64),
+        }
+        if len(batch["uids"]) > self.max_batch:
+            raise ValueError(f"batch too large (> {self.max_batch})")
+        t0 = time.perf_counter()
+        rng = jax.random.PRNGKey(int(req.get("seed", 123)))
+        olen = batch["outfits"].shape[1]
+        pad_to = self.max_batch * (olen if task == "GOR" else 1)
+        prep = self.pipeline.prepare_batch(batch, task, rng, pad_to=pad_to)
+        imgs = self.pipeline.generate_batch(prep)
+        out: dict = {}
+        from PIL import Image
+
+        for k in range(len(imgs)):
+            if not prep.valid[k]:
+                continue
+            key = f"{int(prep.fill_uids[k])}/{int(prep.fill_oids[k])}"
+            buf = io.BytesIO()
+            Image.fromarray(imgs[k]).save(buf, format="JPEG", quality=95)
+            out.setdefault(key, []).append(
+                base64.b64encode(buf.getvalue()).decode()
+            )
+        return {"images": out, "latency_s": round(time.perf_counter() - t0, 3)}
+
+
+def make_handler(service: GenerationService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok",
+                                 "devices": jax.device_count()})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                self._send(200, service.generate(req))
+            except Exception as e:  # noqa: BLE001 — service boundary
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="DiFashion-TPU generation service")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--config", default=None)
+    args = p.parse_args(argv)
+
+    from difashion_tpu.cli.generate import load_model_for_inference
+    from difashion_tpu.core.config import Config
+    from difashion_tpu.core.logging import setup_logging
+    from difashion_tpu.data.datasets import FashionData, HistLatentStore
+    from difashion_tpu.data.precompute import load_processed
+    from difashion_tpu.data.tokenizer import load_tokenizer
+    from difashion_tpu.engine.pipeline import GenerationPipeline
+
+    log = setup_logging()
+    cfg = (Config.from_json(open(args.config).read()) if args.config
+           else (Config.preset_tiny() if args.tiny else Config.preset_eta01()))
+    model, params, step = load_model_for_inference(cfg, args.ckpt_dir)
+    data = FashionData.load(args.data_path)
+    proc = load_processed(args.data_path, "all_item_moments")
+    item_latents = (proc["mean"] * cfg.model.vae.scaling_factor
+                    if proc else None)
+    hist_store = HistLatentStore.from_catalog(
+        data.history.get("test", {}),
+        item_latents if item_latents is not None else np.zeros(
+            (1, cfg.model.unet.sample_size, cfg.model.unet.sample_size,
+             cfg.model.vae.latent_channels), np.float32),
+    )
+    pipe = GenerationPipeline(
+        model, params, cfg, data.id_cate_dict,
+        load_tokenizer(None, cfg.model.text.vocab_size), hist_store,
+        item_latents=item_latents,
+    )
+    service = GenerationService(pipe, max_batch=args.max_batch)
+    log.info("serving checkpoint-%d on :%d", step, args.port)
+    ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service)).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

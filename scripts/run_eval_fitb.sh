@@ -1,0 +1,6 @@
+#!/bin/sh
+# FITB evaluation recipe (reference Evaluation/run_eval_fitb.sh).
+python -m difashion_tpu evaluate \
+    --data_path "${DATA_PATH:-datasets/polyvore}" \
+    --gen_dir "${GEN_DIR:-generated}" --task FITB --mode "${1:-test}" \
+    --weights_dir "${EVAL_WEIGHTS:-eval_weights}" "$@" 2>&1 | tee eval_fitb.log

@@ -1,0 +1,98 @@
+"""Serving layer: warm-model GenerationService + HTTP handler round-trip."""
+import base64
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import numpy as np
+import pytest
+
+from difashion_tpu.cli.serve import GenerationService, make_handler
+from difashion_tpu.core.config import Config
+from difashion_tpu.data import HashTokenizer, HistLatentStore
+from difashion_tpu.engine.pipeline import GenerationPipeline
+from difashion_tpu.models import create_difashion
+
+
+@pytest.fixture(scope="module")
+def service():
+    import dataclasses
+
+    cfg = Config.preset_tiny()
+    cfg = dataclasses.replace(
+        cfg, generation=dataclasses.replace(cfg.generation, num_inference_steps=2)
+    )
+    model, params = create_difashion(cfg.model, jax.random.PRNGKey(0))
+    h = cfg.model.unet.sample_size
+    C = cfg.model.vae.latent_channels
+    lat = np.random.RandomState(0).randn(20, h, h, C).astype(np.float32) * 0.2
+    pipe = GenerationPipeline(
+        model, params, cfg, {c: f"cate{c}" for c in range(1, 6)},
+        HashTokenizer(vocab_size=cfg.model.text.vocab_size),
+        HistLatentStore.from_catalog({}, lat), item_latents=lat,
+    )
+    return GenerationService(pipe, max_batch=4)
+
+
+def _req(n=2):
+    rng = np.random.RandomState(1)
+    outfits = rng.randint(1, 20, size=(n, 4))
+    outfits[:, 0] = 0
+    return {
+        "task": "FITB",
+        "uids": list(range(1, n + 1)),
+        "oids": list(range(100, 100 + n)),
+        "outfits": outfits.tolist(),
+        "category": rng.randint(1, 6, size=(n, 4)).tolist(),
+        "seed": 7,
+    }
+
+
+def test_service_generate(service):
+    out = service.generate(_req(2))
+    assert len(out["images"]) == 2
+    for key, imgs in out["images"].items():
+        assert len(imgs) == 1
+        raw = base64.b64decode(imgs[0])
+        assert raw[:2] == b"\xff\xd8"  # JPEG magic
+    assert out["latency_s"] > 0
+
+
+def test_service_rejects_oversized_batch(service):
+    with pytest.raises(ValueError):
+        service.generate(_req(9))
+
+
+def test_http_roundtrip(service):
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        data = json.dumps(_req(1)).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=data,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert len(out["images"]) == 1
+
+        # malformed request -> 400, not a crash
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
