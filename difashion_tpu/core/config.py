@@ -42,6 +42,8 @@ class UNetConfig:
         "CrossAttnUpBlock2D",
     )
     use_linear_projection: bool = True   # SD2 transformer blocks use linear in/out proj
+    fixed_num_heads: Optional[int] = None  # SD1.x: 8 heads/block (head_dim = ch/8);
+                                           # None -> heads = ch // attention_head_dim (SD2)
     norm_num_groups: int = 32
     freq_shift: int = 0
     flip_sin_to_cos: bool = True
@@ -156,6 +158,26 @@ class ModelConfig:
     @staticmethod
     def sd2_base() -> "ModelConfig":
         return ModelConfig()
+
+    @staticmethod
+    def sd15() -> "ModelConfig":
+        """SD-v1.5 family (the graft baseline's 'fine-tune from SD-v1.5' config):
+        768-wide CLIP ViT-L text tower (quick_gelu), conv transformer projections,
+        8 fixed attention heads per block."""
+        return ModelConfig(
+            unet=UNetConfig(
+                cross_attention_dim=768,
+                use_linear_projection=False,
+                fixed_num_heads=8,
+            ),
+            text=CLIPTextConfig(
+                hidden_size=768,
+                intermediate_size=3072,
+                num_layers=12,
+                num_heads=12,
+                hidden_act="quick_gelu",
+            ),
+        )
 
     @staticmethod
     def tiny() -> "ModelConfig":

@@ -82,9 +82,9 @@ class UNet2DCondition(nn.Module):
                     name=f"down_{bi}_resnet_{li}",
                 )(h, temb)
                 if has_attn:
-                    heads = out_ch // cfg.attention_head_dim
+                    heads = cfg.fixed_num_heads or out_ch // cfg.attention_head_dim
                     h = Spatial(
-                        heads, cfg.attention_head_dim, 1, cfg.cross_attention_dim,
+                        heads, out_ch // heads, 1, cfg.cross_attention_dim,
                         use_linear_projection=cfg.use_linear_projection,
                         norm_num_groups=cfg.norm_num_groups,
                         dtype=self.dtype, name=f"down_{bi}_attn_{li}",
@@ -99,8 +99,9 @@ class UNet2DCondition(nn.Module):
         h = ResBlock(
             mid_ch, groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_0"
         )(h, temb)
+        mid_heads = cfg.fixed_num_heads or mid_ch // cfg.attention_head_dim
         h = Spatial(
-            mid_ch // cfg.attention_head_dim, cfg.attention_head_dim, 1,
+            mid_heads, mid_ch // mid_heads, 1,
             cfg.cross_attention_dim,
             use_linear_projection=cfg.use_linear_projection,
             norm_num_groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_attn",
@@ -123,9 +124,9 @@ class UNet2DCondition(nn.Module):
                     name=f"up_{bi}_resnet_{li}",
                 )(h, temb)
                 if has_attn:
-                    heads = out_ch // cfg.attention_head_dim
+                    heads = cfg.fixed_num_heads or out_ch // cfg.attention_head_dim
                     h = Spatial(
-                        heads, cfg.attention_head_dim, 1, cfg.cross_attention_dim,
+                        heads, out_ch // heads, 1, cfg.cross_attention_dim,
                         use_linear_projection=cfg.use_linear_projection,
                         norm_num_groups=cfg.norm_num_groups,
                         dtype=self.dtype, name=f"up_{bi}_attn_{li}",

@@ -242,3 +242,25 @@ def test_ddim_eta_requires_noise(sched):
     x = jnp.zeros((1, 2, 2, 4))
     with pytest.raises(ValueError):
         ddim_step(row, x, x, eta=0.5, noise=None)
+
+
+def test_pndm_50step_timestep_sequence(sched):
+    """Pin the exact 51-entry PLMS timestep sequence at the reference's 50-step
+    config: [981, 961, 961, 941, ..., 21, 1] (second-highest t visited twice)."""
+    plan = make_pndm_plan(sched, 50)
+    ts = plan.t_unet
+    assert len(ts) == 51
+    assert ts[0] == 981 and ts[1] == 961 and ts[2] == 961
+    assert ts[-1] == 1 and ts[-2] == 21
+    np.testing.assert_array_equal(ts[2:], np.arange(961, 0, -20))
+    # first interval is re-run as a corrector: iteration 1 uses cur_sample
+    assert plan.use_cur[1] == 1.0 and plan.use_cur.sum() == 1.0
+    assert plan.save_cur[0] == 1.0 and plan.save_cur.sum() == 1.0
+    assert plan.append[1] == 0.0 and plan.append.sum() == 50.0
+
+
+def test_pndm_ab_coefficients_sum_to_one(sched):
+    """Adams-Bashforth rows are consistency-preserving: coefficients sum to 1."""
+    plan = make_pndm_plan(sched, 10)
+    total = plan.ets_coeffs.sum(axis=1) + plan.cm
+    np.testing.assert_allclose(total, 1.0, rtol=1e-6)

@@ -155,3 +155,35 @@ def test_bf16_compute_dtype(tiny):
     assert all(
         p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params)
     )
+
+
+def test_unet_sd15_param_count():
+    """SD-v1.5 family: conv transformer projections, 8 fixed heads, 768 context.
+    diffusers SD1.5 UNet = 859,520,964 params at 4-in-ch; the 8-channel conv_in
+    adds 4*3*3*320 = 11,520."""
+    from difashion_tpu.core.config import ModelConfig
+    from difashion_tpu.models.unet import UNet2DCondition
+
+    cfg = ModelConfig.sd15()
+    model = UNet2DCondition(cfg.unet)
+    x = jax.ShapeDtypeStruct((1, 64, 64, 8), jnp.float32)
+    t = jax.ShapeDtypeStruct((1,), jnp.int32)
+    c = jax.ShapeDtypeStruct((1, 77, 768), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, c)
+    n = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes))
+    assert n == 859_520_964 + 11_520
+
+
+def test_sd15_text_encoder_quick_gelu():
+    from difashion_tpu.core.config import ModelConfig
+
+    cfg = ModelConfig.sd15()
+    assert cfg.text.hidden_act == "quick_gelu"
+    assert cfg.text.hidden_size == 768 and cfg.text.num_layers == 12
+    from difashion_tpu.core.config import CLIPTextConfig
+    import dataclasses as dc
+
+    small = dc.replace(CLIPTextConfig.tiny(), hidden_act="quick_gelu")
+    model, params = init_clip_text(small, jax.random.PRNGKey(0))
+    out = model.apply({"params": params}, jnp.zeros((1, 77), jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
