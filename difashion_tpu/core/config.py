@@ -227,6 +227,7 @@ class TrainConfig:
     use_mutual_guidance: bool = True
     mixed_precision: str = "bf16"          # reference uses fp16; bf16 is TPU-native
     gradient_checkpointing: bool = False
+    skip_nonfinite_updates: bool = True    # NaN/Inf grad guard: hold params, count skips
     # Parallelism
     dp_size: int = -1                      # -1 => all available devices
     output_dir: str = "ckpt"

@@ -273,8 +273,22 @@ def build_train_step(model: DiFashionModel, cfg: TrainConfig):
                 trainable
             )
 
-        updates, opt_state = tx.update(grads, state.opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+
+        if cfg.skip_nonfinite_updates:
+            # failure guard (SURVEY.md §5): a NaN/Inf gradient step is dropped —
+            # params and optimizer state hold, the skip is surfaced in metrics.
+            ok = jnp.isfinite(grad_norm)
+            pick = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old
+            )
+            new_trainable = pick(new_trainable, trainable)
+            new_opt_state = pick(new_opt_state, state.opt_state)
+        else:
+            ok = jnp.asarray(True)
+        trainable, opt_state = new_trainable, new_opt_state
 
         ema = state.ema
         if ema is not None:
@@ -282,7 +296,7 @@ def build_train_step(model: DiFashionModel, cfg: TrainConfig):
             ema_params = jax.tree_util.tree_map(
                 lambda e, q: d * e + (1.0 - d) * q, ema.params, trainable
             )
-            ema = EMAState(params=ema_params, step=ema.step + 1)
+            ema = EMAState(params=ema_params, step=ema.step + ok.astype(jnp.int32))
 
         new_state = TrainState(
             params=merge_params(trainable, frozen),
@@ -291,7 +305,8 @@ def build_train_step(model: DiFashionModel, cfg: TrainConfig):
             step=state.step + 1,
         )
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+        metrics["update_skipped"] = 1.0 - ok.astype(jnp.float32)
         return new_state, metrics
 
     return train_step, init_state

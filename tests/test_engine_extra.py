@@ -116,3 +116,27 @@ def test_remat_unet_matches_no_remat(tiny_model):
     assert np.isfinite(
         float(jnp.asarray([jnp.sum(jnp.abs(l)) for l in jax.tree_util.tree_leaves(g)]).sum())
     )
+
+
+def test_nonfinite_grad_guard(tiny_model):
+    """A poisoned batch (NaN latents) must not corrupt params; the skip is counted."""
+    cfg, model, params = tiny_model
+    tcfg = TrainConfig(learning_rate=1e-3, use_ema=False, use_ema_fashion=False)
+    step_fn, init_fn = build_train_step(model, tcfg)
+    state = init_fn(params)
+    nl, nt = _nulls(cfg)
+    bad = _batch(cfg, jax.random.PRNGKey(20))
+    bad = bad._replace(latent_mean=bad.latent_mean.at[0].set(jnp.nan))
+    state2, m = jax.jit(step_fn)(state, bad, nl, nt, jax.random.PRNGKey(21))
+    assert float(m["update_skipped"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(state.params["unet"]),
+                    jax.tree_util.tree_leaves(state2.params["unet"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a clean batch still updates
+    good = _batch(cfg, jax.random.PRNGKey(22))
+    state3, m2 = jax.jit(step_fn)(state2, good, nl, nt, jax.random.PRNGKey(23))
+    assert float(m2["update_skipped"]) == 0.0
+    diff = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state2.params["unet"], state3.params["unet"])))
+    assert diff > 0
