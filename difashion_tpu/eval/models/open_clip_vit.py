@@ -72,7 +72,7 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
         hd = self.width // self.heads
@@ -89,7 +89,7 @@ class ResidualBlock(nn.Module):
         o = jnp.einsum("bhqk,bhkd->bhqd", w, sh(v))
         o = o.transpose(0, 2, 1, 3).reshape(B, S, self.width)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(o)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")(h)
@@ -125,13 +125,13 @@ class CLIPImageEncoder(nn.Module):
             (x.shape[1], cfg.width), jnp.float32,
         )
         x = x + pos.astype(self.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
         for i in range(cfg.layers):
             x = ResidualBlock(cfg.width, cfg.heads, dtype=self.dtype,
                               name=f"resblocks_{i}")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(
             x[:, 0].astype(jnp.float32)
         ).astype(self.dtype)
         proj = self.param(
@@ -161,7 +161,7 @@ class CLIPTextTower(nn.Module):
         for i in range(cfg.layers):
             x = ResidualBlock(cfg.width, cfg.heads, dtype=self.dtype,
                               name=f"resblocks_{i}")(x, causal)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x.astype(jnp.float32))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x.astype(jnp.float32))
         eos = jnp.argmax(input_ids, axis=-1)        # OpenCLIP: EOS has the max id
         pooled = x[jnp.arange(B), eos].astype(self.dtype)
         proj = self.param(

@@ -111,3 +111,69 @@ def test_bpe_tokenizer_matches_hf_clip_tokenizer(tmp_path):
         ref = np.asarray(ref)
         end = np.where(ref == vocab["<|endoftext|>"])[0][0]
         np.testing.assert_array_equal(got[: end + 1], ref[: end + 1]), text
+
+
+def test_clip_vision_matches_hf():
+    """Our OpenCLIP-style image tower == transformers.CLIPVisionModel with the same
+    weights (separate q/k/v projections fused into in_proj), up to the projection
+    (HF pooler_output == our pre-projection pooled feature)."""
+    from difashion_tpu.eval.models.open_clip_vit import (
+        CLIPImageEncoder,
+        ViTConfig,
+        init_clip_image,
+    )
+
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14, hidden_act="gelu",
+    )
+    hf = transformers.CLIPVisionModel(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ViTConfig(image_size=28, patch_size=14, width=64, layers=2, heads=4,
+                    embed_dim=64)
+    model, params = init_clip_image(cfg, jax.random.PRNGKey(0))
+
+    p = "vision_model."
+    params["patch_embed"]["kernel"] = np.transpose(
+        sd[p + "embeddings.patch_embedding.weight"], (2, 3, 1, 0)
+    )
+    params["class_embedding"] = sd[p + "embeddings.class_embedding"]
+    params["positional_embedding"] = sd[p + "embeddings.position_embedding.weight"]
+    params["ln_pre"]["scale"] = sd[p + "pre_layrnorm.weight"]
+    params["ln_pre"]["bias"] = sd[p + "pre_layrnorm.bias"]
+    params["ln_post"]["scale"] = sd[p + "post_layernorm.weight"]
+    params["ln_post"]["bias"] = sd[p + "post_layernorm.bias"]
+    params["proj"] = np.eye(64, dtype=np.float32)   # HF pooler has no projection
+    for i in range(2):
+        b = params[f"resblocks_{i}"]
+        q = p + f"encoder.layers.{i}."
+        b["ln_1"]["scale"] = sd[q + "layer_norm1.weight"]
+        b["ln_1"]["bias"] = sd[q + "layer_norm1.bias"]
+        b["ln_2"]["scale"] = sd[q + "layer_norm2.weight"]
+        b["ln_2"]["bias"] = sd[q + "layer_norm2.bias"]
+        b["in_proj"]["kernel"] = np.concatenate([
+            sd[q + "self_attn.q_proj.weight"],
+            sd[q + "self_attn.k_proj.weight"],
+            sd[q + "self_attn.v_proj.weight"],
+        ], axis=0).T
+        b["in_proj"]["bias"] = np.concatenate([
+            sd[q + "self_attn.q_proj.bias"],
+            sd[q + "self_attn.k_proj.bias"],
+            sd[q + "self_attn.v_proj.bias"],
+        ])
+        b["out_proj"]["kernel"] = sd[q + "self_attn.out_proj.weight"].T
+        b["out_proj"]["bias"] = sd[q + "self_attn.out_proj.bias"]
+        b["c_fc"]["kernel"] = sd[q + "mlp.fc1.weight"].T
+        b["c_fc"]["bias"] = sd[q + "mlp.fc1.bias"]
+        b["c_proj"]["kernel"] = sd[q + "mlp.fc2.weight"].T
+        b["c_proj"]["bias"] = sd[q + "mlp.fc2.bias"]
+
+    rng = np.random.RandomState(2)
+    imgs = rng.randn(2, 28, 28, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = hf(
+            pixel_values=torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
+        ).pooler_output.numpy()
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(imgs)))
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-5)
