@@ -22,7 +22,7 @@ Dtype = Any
 
 def _mlp_block(x, features, name_prefix, dtype, deterministic, dropout=0.35):
     x = nn.Dense(features, dtype=dtype, name=f"{name_prefix}_dense")(x)
-    x = nn.LayerNorm(dtype=jnp.float32, name=f"{name_prefix}_ln")(
+    x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"{name_prefix}_ln")(
         x.astype(jnp.float32)
     ).astype(dtype)
     x = nn.relu(x)

@@ -89,16 +89,16 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x.astype(jnp.float32))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x.astype(jnp.float32))
         x = x + CrossAttention(
             self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
         )(h.astype(self.dtype))
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x.astype(jnp.float32))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x.astype(jnp.float32))
         x = x + CrossAttention(
             self.dim, self.heads, self.head_dim, context_dim=self.context_dim,
             dtype=self.dtype, name="attn2",
         )(h.astype(self.dtype), context)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x.astype(jnp.float32))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x.astype(jnp.float32))
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h.astype(self.dtype))
         return x
 
