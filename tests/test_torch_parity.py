@@ -292,3 +292,38 @@ def test_basic_transformer_block_layernorm_eps():
     np.testing.assert_allclose(np.asarray(ours_h), ref_h.numpy(), rtol=1e-4,
                                atol=1e-5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fid_resize_matches_torch_bilinear():
+    """FID preprocessing uses bilinear align_corners=False at 299x299
+    (`eval_utils.py:263-267`); jax.image.resize 'bilinear' must match torch."""
+    from difashion_tpu.eval.extractors import _resize_299
+
+    rng = np.random.RandomState(10)
+    x = rng.rand(2, 64, 48, 3).astype(np.float32)
+    ours = _resize_299(x)
+    ref = torch.nn.functional.interpolate(
+        _nchw(x), size=(299, 299), mode="bilinear", align_corners=False
+    )
+    np.testing.assert_allclose(ours, _to_nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_clip_resize_matches_pil_bicubic():
+    """open_clip's transform resizes with PIL BICUBIC; jax bicubic (Keys a=-0.5)
+    matches PIL's kernel much closer than torch's (a=-0.75)."""
+    from PIL import Image
+
+    from difashion_tpu.eval.models.open_clip_vit import preprocess_clip_image
+
+    rng = np.random.RandomState(11)
+    img01 = rng.rand(64, 64, 3).astype(np.float32)
+    out = preprocess_clip_image(img01[None], size=32)[0]
+
+    pil = Image.fromarray((img01 * 255).astype(np.uint8)).resize(
+        (32, 32), Image.BICUBIC
+    )
+    from difashion_tpu.eval.models.open_clip_vit import CLIP_MEAN, CLIP_STD
+
+    ref = (np.asarray(pil, np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    # uint8 quantization + kernel-tail differences bound the achievable match
+    assert np.abs(out - ref).mean() < 0.05
