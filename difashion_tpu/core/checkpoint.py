@@ -19,6 +19,7 @@ import json
 import os
 import re
 import shutil
+import threading
 from typing import Optional
 
 import jax
@@ -42,6 +43,7 @@ class CheckpointStore:
     def __init__(self, directory: str, total_limit: Optional[int] = None):
         self.dir = directory
         self.total_limit = total_limit
+        self._writer: Optional[threading.Thread] = None
         os.makedirs(directory, exist_ok=True)
 
     # ---- frozen towers (saved once) -----------------------------------------
@@ -71,6 +73,22 @@ class CheckpointStore:
     def latest_step(self) -> Optional[int]:
         steps = self.all_steps()
         return steps[-1] if steps else None
+
+    def save_async(self, state, step: int) -> None:
+        """Snapshot to host now, write files in a background thread (the train loop
+        only blocks on the device->host transfer, not on disk IO). A later save
+        joins any in-flight write first."""
+        self.wait()
+        host_state = jax.device_get(state)
+        self._writer = threading.Thread(
+            target=self.save, args=(host_state, step), daemon=True
+        )
+        self._writer.start()
+
+    def wait(self) -> None:
+        if self._writer is not None:
+            self._writer.join()
+            self._writer = None
 
     def save(self, state, step: int) -> str:
         """state: engine.train.TrainState (host or device arrays)."""

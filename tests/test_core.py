@@ -199,3 +199,24 @@ def test_checkpoint_latest_none(tmp_path):
     assert store.latest_step() is None
     with pytest.raises(FileNotFoundError):
         store.load(None)
+
+
+def test_checkpoint_async_save(tmp_path, tiny):
+    from difashion_tpu.engine import build_train_step
+
+    model, params = create_difashion(tiny, jax.random.PRNGKey(7))
+    _, init_fn = build_train_step(model, TrainConfig())
+    state = init_fn(params)
+    store = CheckpointStore(str(tmp_path))
+    store.save_async(state, 500)
+    store.wait()
+    assert store.latest_step() == 500
+    restored = store.load(init_fn(params), 500)
+    a = jax.tree_util.tree_leaves(state.params["unet"])[0]
+    b = jax.tree_util.tree_leaves(restored.params["unet"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a second async save joins the first (no interleaved writes)
+    store.save_async(state, 600)
+    store.save_async(state, 700)
+    store.wait()
+    assert store.all_steps() == [500, 600, 700]
