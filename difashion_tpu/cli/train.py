@@ -145,6 +145,9 @@ def run_training(
 
     state = place_repl(state)
     step = start_step
+    sync_every = max(1, metrics_log.console_every)
+    imgs_per_step = tcfg.train_batch_size * data.train.outfits.shape[1]
+    timer.start()
     while step < max_steps:
         host_batch = loader.batch_at(step)
         batch = assemble_batch(
@@ -153,15 +156,23 @@ def run_training(
         )
         batch = place_batch(batch)
         rng, step_rng = jax.random.split(rng)
-        timer.start()
         state, m = jitted(state, batch, null_latent, null_text, step_rng)
-        jax.block_until_ready(m["loss"])
         step += 1
-        t = timer.stop(tcfg.train_batch_size * data.train.outfits.shape[1])
-        metrics_log.log(step, loss=m["loss"], grad_norm=m.get("grad_norm", 0.0), **t)
+        # Host-sync only periodically: dispatch stays async between syncs so the
+        # device never waits on a host round-trip (the reference logs every step
+        # through accelerator.gather — a per-step sync).
+        if step % sync_every == 0 or step >= max_steps:
+            loss = float(m["loss"])  # forces completion of the whole chain
+            t = timer.stop(imgs_per_step * sync_every)
+            metrics_log.log(
+                step, loss=loss, grad_norm=float(m.get("grad_norm", 0.0)),
+                update_skipped=float(m.get("update_skipped", 0.0)), **t,
+            )
+            timer.start()
         if step % tcfg.checkpointing_steps == 0 or step >= max_steps:
-            store.save(state, step)
-            log.info("saved checkpoint-%d", step)
+            store.save_async(state, step)
+            log.info("saved checkpoint-%d (async)", step)
+    store.wait()
     metrics_log.close()
     return state, model
 
