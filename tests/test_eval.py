@@ -335,3 +335,61 @@ def test_fid_inception_variant_differs():
     assert f1.shape == f2.shape == (1, 2048)
     # same seed -> same weights; behavioral deltas (pool modes) must show up
     assert not np.allclose(np.asarray(f1), np.asarray(f2))
+
+
+@pytest.mark.slow
+def test_inception_importer_coverage():
+    """Build a synthetic torchvision-style state dict covering every conv/bn/fc of our
+    Inception tree and verify the importer fills params AND batch stats."""
+    import jax.tree_util as jtu
+
+    from difashion_tpu.eval.models.inception import (
+        import_inception_params,
+        init_inception,
+    )
+
+    model, variables = init_inception(jax.random.PRNGKey(0), num_classes=7)
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def walk(tree, stats, prefix):
+        for name, sub in tree.items():
+            key = prefix + name if not prefix else prefix + "." + name
+            if name == "conv" and "kernel" in sub:
+                k = np.asarray(sub["kernel"])
+                # small magnitude: random weights through ~94 convs otherwise overflow
+                sd[key + ".weight"] = (0.05 * rng.randn(
+                    k.shape[3], k.shape[2], k.shape[0], k.shape[1]
+                )).astype(np.float32)
+            elif name == "bn" and "scale" in sub:
+                n = np.asarray(sub["scale"]).shape[0]
+                sd[key + ".weight"] = rng.rand(n).astype(np.float32) + 0.5
+                sd[key + ".bias"] = rng.randn(n).astype(np.float32)
+                sd[key + ".running_mean"] = rng.randn(n).astype(np.float32)
+                sd[key + ".running_var"] = rng.rand(n).astype(np.float32) + 0.5
+            elif name == "fc" and "kernel" in sub:
+                k = np.asarray(sub["kernel"])
+                sd["fc.weight"] = rng.randn(k.shape[1], k.shape[0]).astype(np.float32)
+                sd["fc.bias"] = rng.randn(k.shape[1]).astype(np.float32)
+            elif isinstance(sub, dict):
+                walk(sub, stats.get(name, {}), key)
+
+    walk(variables["params"], variables.get("batch_stats", {}), "")
+    new_vars = import_inception_params(variables, sd, num_classes=7)
+
+    # every conv kernel and bn stat must have been replaced (not equal to init)
+    def check(tree, new_tree, prefix):
+        for name, sub in tree.items():
+            if isinstance(sub, dict):
+                check(sub, new_tree[name], prefix + "/" + name)
+            else:
+                if name in ("kernel", "scale", "mean", "var"):
+                    assert not np.allclose(
+                        np.asarray(sub), np.asarray(new_tree[name])
+                    ), prefix + "/" + name
+
+    check(variables["params"], new_vars["params"], "")
+    check(variables["batch_stats"], new_vars["batch_stats"], "")
+    # imported net still runs and softmaxes
+    probs = model.apply(new_vars, jnp.zeros((1, 299, 299, 3)))
+    np.testing.assert_allclose(float(jnp.sum(probs)), 1.0, rtol=1e-4)
