@@ -114,3 +114,43 @@ def test_merge_images_grid():
     grid3 = merge_images_grid(np.zeros((3, 8, 8, 3), np.uint8))
     assert grid3.shape == (16, 16, 3)  # 2x2 grid, one white pad cell
     assert (grid3[8:, 8:] == 255).all()
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/datasets/polyvore/fitb_valid.npy"),
+    reason="reference datasets not mounted",
+)
+def test_pipeline_on_real_polyvore_schema(pipe, tmp_path):
+    """Real fitb_valid rows (real uids/oids/iids/cids) through the full pipeline."""
+    from difashion_tpu.data import FashionData, HistLatentStore, OutfitTable
+
+    cfg, p = pipe
+    data = FashionData.load("/root/reference/datasets/polyvore")
+    t = data.fitb_valid
+    sub = OutfitTable(
+        uids=t.uids[:3], oids=t.oids[:3],
+        outfits=t.outfits[:3].copy(), category=t.category[:3],
+    )
+    # item ids exceed the tiny catalog; clamp known items into range, keep blanks
+    sub.outfits[sub.outfits != 0] = (sub.outfits[sub.outfits != 0] % 19) + 1
+    grd = {
+        int(o): {
+            "outfits": sub.outfits[i].tolist(),
+            "category": sub.category[i].tolist(),
+        }
+        for i, o in enumerate(sub.oids)
+    }
+    # categories come from the real 50-cid vocab -> rebuild the pipeline's text table
+    from difashion_tpu.data import HashTokenizer
+
+    real_pipe = type(p)(
+        p.model, p.params, cfg, data.id_cate_dict,
+        HashTokenizer(vocab_size=cfg.model.text.vocab_size),
+        p.hist_store, item_latents=p.item_latents,
+    )
+    run_dir = real_pipe.run(sub, "FITB", str(tmp_path), "FITB-real-schema",
+                            grd_dict=grd)
+    man = np.load(run_dir + ".npy", allow_pickle=True).item()
+    assert sum(len(v) for v in man.values()) == 3
+    for uid, by_oid in man.items():
+        assert uid in set(int(u) for u in sub.uids)
