@@ -138,15 +138,29 @@ class GenerationPipeline:
     # ------------------------------------------------------------------ prep --
 
     def prepare_batch(self, batch: dict, task: str, rng: jax.Array,
-                      pad_to: Optional[int] = None) -> PreparedBatch:
+                      pad_to: Optional[int] = None,
+                      pad_outfits: Optional[int] = None) -> PreparedBatch:
         """batch: {uids, oids, outfits, category} host arrays. task: FITB|GOR.
-        GOR zeroes every slot (reference `inf4eval.py:730-734`)."""
+        GOR zeroes every slot (reference `inf4eval.py:730-734`).
+        pad_to / pad_outfits keep the fill and outfit axes at fixed sizes so every
+        batch (including the ragged last one) hits the same compiled sampler."""
         uids = np.asarray(batch["uids"])
         oids = np.asarray(batch["oids"])
         olists = np.asarray(batch["outfits"]).copy()
         category = np.asarray(batch["category"])
         if task == "GOR":
             olists[:] = 0
+        if pad_outfits is not None and len(olists) < pad_outfits:
+            padn = pad_outfits - len(olists)
+            # pad with no-fill rows: every slot "known" (non-zero) -> zero fills added
+            uids = np.concatenate([uids, np.repeat(uids[-1:], padn)])
+            oids = np.concatenate([oids, np.repeat(oids[-1:], padn)])
+            olists = np.concatenate(
+                [olists, np.ones((padn, olists.shape[1]), olists.dtype)], axis=0
+            )
+            category = np.concatenate(
+                [category, np.repeat(category[-1:], padn, axis=0)], axis=0
+            )
         B, olen = olists.shape
         gen_mask = olists == 0
         fills = [(b, j) for b in range(B) for j in range(olen) if gen_mask[b, j]]
@@ -252,7 +266,9 @@ class GenerationPipeline:
                 "outfits": table.outfits[sl], "category": table.category[sl],
             }
             key, sub = jax.random.split(key)
-            prep = self.prepare_batch(batch, task, sub, pad_to=pad_to)
+            prep = self.prepare_batch(
+                batch, task, sub, pad_to=pad_to, pad_outfits=batch_size
+            )
             imgs = self.generate_batch(prep)
             self._save_batch(prep, imgs, run_dir, task, outputs, grds, grd_dict)
             np.save(run_dir + ".npy", np.array(outputs, dtype=object))

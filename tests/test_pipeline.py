@@ -154,3 +154,25 @@ def test_pipeline_on_real_polyvore_schema(pipe, tmp_path):
     assert sum(len(v) for v in man.values()) == 3
     for uid, by_oid in man.items():
         assert uid in set(int(u) for u in sub.uids)
+
+
+def test_ragged_batch_shapes_are_static(pipe):
+    """Full and ragged batches must produce identical input shapes (no recompiles)."""
+    import jax as _jax
+
+    cfg, p = pipe
+    full = _table(3)
+    ragged = _table(2)
+    bs = 3
+    olen = 4
+    pad_to = bs  # FITB: one fill per row
+    k = _jax.random.PRNGKey(0)
+    prep_full = p.prepare_batch(
+        {"uids": full.uids, "oids": full.oids, "outfits": full.outfits,
+         "category": full.category}, "FITB", k, pad_to=pad_to, pad_outfits=bs)
+    prep_rag = p.prepare_batch(
+        {"uids": ragged.uids, "oids": ragged.oids, "outfits": ragged.outfits,
+         "category": ragged.category}, "FITB", k, pad_to=pad_to, pad_outfits=bs)
+    for a, b in zip(prep_full.inputs, prep_rag.inputs):
+        assert np.shape(a) == np.shape(b)
+    assert prep_rag.valid.sum() == 2 and prep_full.valid.sum() == 3
