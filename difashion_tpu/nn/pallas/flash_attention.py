@@ -287,8 +287,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 512,
-    block_kv: int = 1024,
+    block_q: int = 256,
+    block_kv: int = 4096,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention with Pallas forward + backward.
