@@ -144,6 +144,55 @@ def _to_hf(value: np.ndarray, leaf: str) -> np.ndarray:
     return value
 
 
+def _mutual_latent_dims(flat_dim: int) -> Tuple[int, int]:
+    """(C, S) for a MutualEncoder flat latent dim C*S*S. The VAE latent channel count
+    is 4 across the whole SD family (reference `difashion.py:360`), so S follows."""
+    c = 4
+    s = int(round((flat_dim / c) ** 0.5))
+    if c * s * s != flat_dim:
+        raise ValueError(f"cannot factor mutual flat dim {flat_dim} as 4*S*S")
+    return c, s
+
+
+def _mutual_kernel_to_flax(value: np.ndarray, seg: str) -> np.ndarray:
+    """Torch MutualEncoder flattens latents in NCHW order (`difashion.py:41`,
+    `view(bsz, -1)` on [B,C,H,W]); our flax module flattens NHWC. Re-order the
+    flattened axis of the two Linear kernels accordingly."""
+    if seg == "mlp_0":           # torch weight [hid, C*S*S] -> flax kernel [S*S*C, hid]
+        hid, flat = value.shape
+        c, s = _mutual_latent_dims(flat)
+        return value.reshape(hid, c, s, s).transpose(0, 2, 3, 1).reshape(hid, flat).T
+    if seg == "mlp_3":           # torch weight [C*S*S, hid] -> flax kernel [hid, S*S*C]
+        flat, hid = value.shape
+        c, s = _mutual_latent_dims(flat)
+        return value.reshape(c, s, s, hid).transpose(1, 2, 0, 3).reshape(flat, hid).T
+    raise KeyError(seg)
+
+
+def _mutual_kernel_to_hf(value: np.ndarray, seg: str) -> np.ndarray:
+    """Inverse of `_mutual_kernel_to_flax`."""
+    if seg == "mlp_0":           # flax kernel [S*S*C, hid] -> torch weight [hid, C*S*S]
+        flat, hid = value.shape
+        c, s = _mutual_latent_dims(flat)
+        return value.T.reshape(hid, s, s, c).transpose(0, 3, 1, 2).reshape(hid, flat)
+    if seg == "mlp_3":           # flax kernel [hid, S*S*C] -> torch weight [C*S*S, hid]
+        hid, flat = value.shape
+        c, s = _mutual_latent_dims(flat)
+        return value.T.reshape(s, s, c, hid).transpose(2, 0, 1, 3).reshape(flat, hid)
+    raise KeyError(seg)
+
+
+def _mutual_bias_to_flax(value: np.ndarray) -> np.ndarray:
+    """mlp_3 bias lives in the flattened latent space: CHW order -> HWC order."""
+    c, s = _mutual_latent_dims(value.shape[0])
+    return value.reshape(c, s, s).transpose(1, 2, 0).reshape(-1)
+
+
+def _mutual_bias_to_hf(value: np.ndarray) -> np.ndarray:
+    c, s = _mutual_latent_dims(value.shape[0])
+    return value.reshape(s, s, c).transpose(2, 0, 1).reshape(-1)
+
+
 # VAE attention: old diffusers checkpoints use query/key/value/proj_attn
 _VAE_ATTN_ALIASES = {
     "to_q": "query", "to_k": "key", "to_v": "value", "to_out.0": "proj_attn",
@@ -183,7 +232,13 @@ def import_params(template, state_dict: Dict[str, np.ndarray], kind: str,
                 missing.append(key)
                 continue
         used.add(key)
-        value = _to_flax(np.asarray(value), leaf)
+        value = np.asarray(value)
+        if kind == "mutual" and path[0] in ("mlp_0", "mlp_3") and leaf == "kernel":
+            value = _mutual_kernel_to_flax(value, path[0])
+        elif kind == "mutual" and path[0] == "mlp_3" and leaf == "bias":
+            value = _mutual_bias_to_flax(value)
+        else:
+            value = _to_flax(value, leaf)
         expect = np.shape(leaf_val)
         if value.shape != expect:
             # conv_in 4->8 channel extension (difashion.py:82-93): zero-init new
@@ -225,7 +280,14 @@ def export_params(params, kind: str) -> Dict[str, np.ndarray]:
             key = "category_embedding.weight"
         else:
             key = flax_path_to_hf_key(path, kind)
-        sd[key] = _to_hf(np.asarray(leaf_val), path[-1])
+        value = np.asarray(leaf_val)
+        if kind == "mutual" and path[0] in ("mlp_0", "mlp_3") and path[-1] == "kernel":
+            value = _mutual_kernel_to_hf(value, path[0])
+        elif kind == "mutual" and path[0] == "mlp_3" and path[-1] == "bias":
+            value = _mutual_bias_to_hf(value)
+        else:
+            value = _to_hf(value, path[-1])
+        sd[key] = value
     return sd
 
 

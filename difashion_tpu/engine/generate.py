@@ -155,9 +155,14 @@ def build_sampler(
     eta: float,
     scheduler: str = "pndm",
     ddim_eta: float = 0.0,
+    return_trajectory: bool = False,
 ):
     """Return a pure function (params, inputs [, rng]) -> final latents [F, h, w, C],
-    suitable for jit / sharding. The full loop is one lax.scan."""
+    suitable for jit / sharding. The full loop is one lax.scan.
+
+    With `return_trajectory=True` the function instead returns
+    (final_latents, trajectory [L, F, h, w, C]) — the latents after every scheduler
+    iteration — used by the whole-loop golden-parity tests."""
     sched = model.schedule
     if scheduler == "pndm":
         plan = make_pndm_plan(sched, num_inference_steps)
@@ -222,7 +227,7 @@ def build_sampler(
                     row, eps, latents, eta=ddim_eta,
                     noise=step_noise, prediction_type=pred_type,
                 )
-            return (latents, state), None
+            return (latents, state), (latents if return_trajectory else None)
 
         L = len(plan)
         if scheduler == "ddim" and ddim_eta > 0.0:
@@ -236,11 +241,13 @@ def build_sampler(
             step_noise = jnp.zeros((L,) + (0,), jnp.float32)
 
         init_state = pndm_init_state(inputs.init_latents.shape)
-        (latents, _), _ = jax.lax.scan(
+        (latents, _), traj = jax.lax.scan(
             body,
             (inputs.init_latents.astype(jnp.float32), init_state),
             (rows, step_noise),
         )
+        if return_trajectory:
+            return latents, traj
         return latents
 
     return sample
