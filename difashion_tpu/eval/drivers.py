@@ -34,7 +34,7 @@ from difashion_tpu.eval.metrics import (
     inception_metrics,
     personalization_sim,
     retrieval_accuracy,
-    topn_recall,
+    topn_recall_grouped,
 )
 from difashion_tpu.eval.models.compat import gather_outfit_feats
 
@@ -101,6 +101,51 @@ class _ResultSink:
         return self.all[self.run]
 
 
+def stream_image_features(
+    X: Extractors,
+    loader: Callable[[int], np.ndarray],
+    n: int,
+    want: Sequence[str],
+    chunk: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Bounded-memory feature extraction: load `chunk` images at a time via
+    `loader(i) -> [H,W,3] in [0,1]`, push them through every requested backbone, and
+    keep only the (small) per-image features. The reference streams evaluation
+    through DataLoaders (`evaluate_fitb.py:174-205`); materializing a whole manifest
+    (iFashion test = 1,988 oids) as fp32 host arrays would be many GB.
+
+    `want` ⊆ {"fid", "probs", "clip"} -> {name: [n, ...] features}."""
+    chunk = chunk or max(X.batch_size, 1)
+    acc: Dict[str, list] = {k: [] for k in want}
+    for s in range(0, n, chunk):
+        imgs = np.stack([loader(i) for i in range(s, min(s + chunk, n))])
+        if "fid" in acc:
+            acc["fid"].append(X.fid_features(imgs))
+        if "probs" in acc:
+            acc["probs"].append(X.inception_probs(imgs))
+        if "clip" in acc:
+            acc["clip"].append(X.clip_image_embs(imgs))
+    return {k: np.concatenate(v, axis=0) for k, v in acc.items()}
+
+
+def stream_lpips(
+    X: Extractors,
+    loader_a: Callable[[int], np.ndarray],
+    loader_b: Callable[[int], np.ndarray],
+    n: int,
+    chunk: Optional[int] = None,
+) -> np.ndarray:
+    """Pairwise LPIPS with bounded host memory (see `stream_image_features`)."""
+    chunk = chunk or max(X.batch_size, 1)
+    out = []
+    for s in range(0, n, chunk):
+        idx = range(s, min(s + chunk, n))
+        a = np.stack([loader_a(i) for i in idx])
+        b = np.stack([loader_b(i) for i in idx])
+        out.append(X.lpips(a, b))
+    return np.concatenate(out)
+
+
 def _flatten_fitb_manifest(manifest: dict):
     """-> (uids, oids, cates, outfits_rows, image_paths) parallel lists, one per
     generated image."""
@@ -131,32 +176,46 @@ def evaluate_fitb(
     X = ctx.extractors
 
     uids, oids, cates, outfit_rows, paths = _flatten_fitb_manifest(manifest)
-    gen_imgs = np.stack([load_image01(p, ctx.img_size) for p in paths])
+    N = len(paths)
+    gen_loader = lambda k: load_image01(paths[k], ctx.img_size)
     # ground-truth item per generated slot: the grd outfit's item of the same category
     grd_iids = []
     for oid, c in zip(oids, cates):
         g = grd_dict[oid]
         idx = int(np.where(np.asarray(g["category"]) == c)[0][0])
         grd_iids.append(int(np.asarray(g["outfits"])[idx]))
-    grd_imgs = np.stack([ctx.item_image_loader(i) for i in grd_iids])
+    grd_loader = lambda k: ctx.item_image_loader(grd_iids[k])
+
+    need_gen_clip = any(not sink.has(m) for m in (
+        "clip_score", "clip_retrieval_acc", "clip_image_score", "personal_sim",
+        "compatibility",
+    ))
+    gen_want = [w for w, need in (
+        ("fid", not sink.has("fid")),
+        ("probs", not sink.has("is")),
+        ("clip", need_gen_clip),
+    ) if need]
+    grd_want = [w for w, need in (
+        ("fid", not sink.has("fid")),
+        ("clip", not sink.has("grd_clip_score") or not sink.has("clip_image_score")),
+    ) if need]
+    gf = stream_image_features(X, gen_loader, N, gen_want)
+    rf = stream_image_features(X, grd_loader, N, grd_want)
+    gen_emb = gf.get("clip")
 
     if not sink.has("fid"):
-        sink.put("fid", fid_from_features(
-            X.fid_features(gen_imgs), X.fid_features(grd_imgs)
-        ))
+        sink.put("fid", fid_from_features(gf["fid"], rf["fid"]))
     if not sink.has("is"):
         labels = np.asarray([ctx.label_of(c) for c in cates])
-        sink.put("is", inception_metrics(X.inception_probs(gen_imgs), labels))
+        sink.put("is", inception_metrics(gf["probs"], labels))
 
     prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
     txt_emb = X.clip_text_embs(prompts)
-    gen_emb = X.clip_image_embs(gen_imgs)
-    grd_emb = X.clip_image_embs(grd_imgs)
 
     if not sink.has("clip_score"):
         sink.put("clip_score", clip_score(gen_emb, txt_emb))
     if not sink.has("grd_clip_score"):
-        sink.put("grd_clip_score", clip_score(grd_emb, txt_emb))
+        sink.put("grd_clip_score", clip_score(rf["clip"], txt_emb))
     if not sink.has("clip_retrieval_acc") and ctx.retrieval_candidates is not None:
         cand = np.stack([
             np.asarray(ctx.retrieval_candidates[u][o], np.int64)
@@ -166,9 +225,9 @@ def evaluate_fitb(
         acc, _ = retrieval_accuracy(gen_emb, cand_embs)
         sink.put("clip_retrieval_acc", acc)
     if not sink.has("clip_image_score"):
-        sink.put("clip_image_score", clip_image_score(gen_emb, grd_emb))
+        sink.put("clip_image_score", clip_image_score(gen_emb, rf["clip"]))
     if not sink.has("lpips"):
-        sink.put("lpips", float(np.mean(X.lpips(gen_imgs, grd_imgs))))
+        sink.put("lpips", float(np.mean(stream_lpips(X, gen_loader, grd_loader, N))))
     if not sink.has("personal_sim"):
         hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
         sink.put("personal_sim", personalization_sim(gen_emb, hist))
@@ -208,49 +267,70 @@ def evaluate_gor(
     X = ctx.extractors
 
     uids, oids, cates, _, paths = _flatten_fitb_manifest(manifest)
-    gen_imgs = np.stack([load_image01(p, ctx.img_size) for p in paths])
+    N = len(paths)
+    gen_loader = lambda k: load_image01(paths[k], ctx.img_size)
     grd_item_iids = []
     for oid in dict.fromkeys(oids):   # unique, order-preserving
         grd_item_iids.extend(int(i) for i in grd_dict[oid]["outfits"])
-    grd_imgs = np.stack([ctx.item_image_loader(i) for i in grd_item_iids])
+    grd_loader = lambda k: ctx.item_image_loader(grd_item_iids[k])
+
+    need_gen_clip = any(not sink.has(m) for m in (
+        "clip_score", "personal_sim", "compatibility",
+    ))
+    gen_want = [w for w, need in (
+        ("fid", not sink.has("fid")),
+        ("probs", not sink.has("is")),
+        ("clip", need_gen_clip),
+    ) if need]
+    gf = stream_image_features(X, gen_loader, N, gen_want)
+    gen_emb = gf.get("clip")
 
     if not sink.has("fid"):
-        sink.put("fid", fid_from_features(
-            X.fid_features(gen_imgs), X.fid_features(grd_imgs)
-        ))
+        rf = stream_image_features(X, grd_loader, len(grd_item_iids), ("fid",))
+        sink.put("fid", fid_from_features(gf["fid"], rf["fid"]))
     if not sink.has("is"):
         labels = np.asarray([ctx.label_of(c) for c in cates])
-        sink.put("is", inception_metrics(X.inception_probs(gen_imgs), labels))
+        sink.put("is", inception_metrics(gf["probs"], labels))
 
     prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
-    gen_emb = X.clip_image_embs(gen_imgs)
     if not sink.has("clip_score"):
         sink.put("clip_score", clip_score(gen_emb, X.clip_text_embs(prompts)))
 
-    # outfit-level merged grids
+    # outfit-level merged grids (streamed: one grid pair resident per index)
     if not sink.has("clip_image_score") or not sink.has("lpips"):
-        merged_gen, merged_grd = [], []
-        for uid, by_oid in manifest.items():
-            for oid, rec in by_oid.items():
-                imgs = np.stack([
-                    load_image01(p, ctx.img_size) for p in rec["image_paths"]
-                ])
-                g = np.stack([
-                    ctx.item_image_loader(int(i)) for i in grd_dict[oid]["outfits"]
-                ])
-                to_grid = lambda im: merge_images_grid(
-                    (im * 255).astype(np.uint8)
-                ).astype(np.float32) / 255.0
-                merged_gen.append(to_grid(imgs))
-                merged_grd.append(to_grid(g))
-        merged_gen = np.stack(merged_gen)
-        merged_grd = np.stack(merged_grd)
-        mg_emb = X.clip_image_embs(merged_gen)
-        mr_emb = X.clip_image_embs(merged_grd)
+        recs = [
+            (rec["image_paths"], grd_dict[oid]["outfits"])
+            for uid, by_oid in manifest.items() for oid, rec in by_oid.items()
+        ]
+
+        def to_grid(im):
+            return merge_images_grid(
+                (im * 255).astype(np.uint8)
+            ).astype(np.float32) / 255.0
+
+        def grid_gen_loader(k):
+            return to_grid(np.stack([
+                load_image01(p, ctx.img_size) for p in recs[k][0]
+            ]))
+
+        def grid_grd_loader(k):
+            return to_grid(np.stack([
+                ctx.item_image_loader(int(i)) for i in recs[k][1]
+            ]))
+
+        n_outfits = len(recs)
         if not sink.has("clip_image_score"):
+            mg_emb = stream_image_features(
+                X, grid_gen_loader, n_outfits, ("clip",)
+            )["clip"]
+            mr_emb = stream_image_features(
+                X, grid_grd_loader, n_outfits, ("clip",)
+            )["clip"]
             sink.put("clip_image_score", clip_image_score(mg_emb, mr_emb))
         if not sink.has("lpips"):
-            sink.put("lpips", float(np.mean(X.lpips(merged_gen, merged_grd))))
+            sink.put("lpips", float(np.mean(
+                stream_lpips(X, grid_gen_loader, grid_grd_loader, n_outfits)
+            )))
 
     if not sink.has("personal_sim"):
         hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
@@ -291,8 +371,9 @@ def evaluate_grounding_fitb(
     X = ctx.extractors
 
     uids, oids, cates, outfit_rows, paths = _flatten_fitb_manifest(manifest)
-    gen_imgs = np.stack([load_image01(p, ctx.img_size) for p in paths])
-    gen_emb = X.clip_image_embs(gen_imgs)
+    N = len(paths)
+    gen_loader = lambda k: load_image01(paths[k], ctx.img_size)
+    gen_emb = stream_image_features(X, gen_loader, N, ("clip",))["clip"]
 
     cand = np.stack([
         np.asarray(ctx.retrieval_candidates[u][o], np.int64)
@@ -304,15 +385,15 @@ def evaluate_grounding_fitb(
     if not sink.has("retrieval_acc"):
         sink.put("retrieval_acc", acc)
 
-    ret_imgs = np.stack([ctx.item_image_loader(int(i)) for i in retrieved])
-    ret_emb = X.clip_image_embs(ret_imgs)
+    ret_loader = lambda k: ctx.item_image_loader(int(retrieved[k]))
+    ret_emb = stream_image_features(X, ret_loader, N, ("clip",))["clip"]
     grd_iids = []
     for oid, c in zip(oids, cates):
         g = grd_dict[oid]
         idx = int(np.where(np.asarray(g["category"]) == c)[0][0])
         grd_iids.append(int(np.asarray(g["outfits"])[idx]))
-    grd_imgs = np.stack([ctx.item_image_loader(i) for i in grd_iids])
-    grd_emb = X.clip_image_embs(grd_imgs)
+    grd_loader = lambda k: ctx.item_image_loader(grd_iids[k])
+    grd_emb = stream_image_features(X, grd_loader, N, ("clip",))["clip"]
 
     prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
     if not sink.has("clip_score"):
@@ -320,7 +401,7 @@ def evaluate_grounding_fitb(
     if not sink.has("clip_image_score"):
         sink.put("clip_image_score", clip_image_score(ret_emb, grd_emb))
     if not sink.has("lpips"):
-        sink.put("lpips", float(np.mean(X.lpips(ret_imgs, grd_imgs))))
+        sink.put("lpips", float(np.mean(stream_lpips(X, ret_loader, grd_loader, N))))
     if not sink.has("personal_sim"):
         hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
         sink.put("personal_sim", personalization_sim(ret_emb, hist))
@@ -354,24 +435,27 @@ def evaluate_grounding_gor(
     X = ctx.extractors
 
     uids, oids, cates, _, paths = _flatten_fitb_manifest(manifest)
-    gen_imgs = np.stack([load_image01(p, ctx.img_size) for p in paths])
-    gen_emb = X.clip_image_embs(gen_imgs)
+    n = len(paths)
+    gen_loader = lambda k: load_image01(paths[k], ctx.img_size)
+    gen_emb = stream_image_features(X, gen_loader, n, ("clip",))["clip"]
 
-    pools = [np.asarray(ctx.cate_iid_dict[c], np.int64) for c in cates]
-    pool_embs = [ctx.cnn_features_clip[p] for p in pools]
     grd_iids = []
     for oid, c in zip(oids, cates):
         g = grd_dict[oid]
         idx = int(np.where(np.asarray(g["category"]) == c)[0][0])
         grd_iids.append(int(np.asarray(g["outfits"])[idx]))
 
-    preds, recalls = topn_recall(gen_emb, pools, pool_embs, grd_iids, topN=topN)
+    # rows grouped by category: one matmul per pool (vs the reference's per-row
+    # Python loops over the full category item set, evaluate_grounding_gor.py:204-282)
+    preds, recalls = topn_recall_grouped(
+        gen_emb, cates, ctx.cate_iid_dict, ctx.cnn_features_clip, grd_iids, topN=topN
+    )
     for N, r in recalls.items():
         if not sink.has(f"recall@{N}"):
             sink.put(f"recall@{N}", r)
 
-    ret_imgs = np.stack([ctx.item_image_loader(int(i)) for i in preds])
-    ret_emb = X.clip_image_embs(ret_imgs)
+    ret_loader = lambda k: ctx.item_image_loader(int(preds[k]))
+    ret_emb = stream_image_features(X, ret_loader, n, ("clip",))["clip"]
     prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
     if not sink.has("clip_score"):
         sink.put("clip_score", clip_score(ret_emb, X.clip_text_embs(prompts)))

@@ -158,15 +158,61 @@ def topn_recall(
     maxN = topN[-1]
     for emb, iids, cand in zip(gen_emb, candidate_iids, candidate_embs):
         sims = np.sum(_l2norm(emb[None]) * _l2norm(cand), axis=-1)
-        k = min(maxN, len(sims))
-        idx = np.argsort(-sims)[:k]
-        top_iids = np.asarray(iids)[idx]
-        all_top.append(top_iids)
-        preds.append(top_iids[0])
+        all_top.append(np.asarray(iids)[_topk_desc(sims[None], maxN)[0]])
+        preds.append(all_top[-1][0])
+    recalls = _recalls_from_top(all_top, grd_iids, topN)
+    return np.asarray(preds), recalls
+
+
+def _topk_desc(sims: np.ndarray, k: int) -> np.ndarray:
+    """Row-wise indices of the k largest entries, sorted descending by similarity.
+    argpartition + small sort instead of a full per-row argsort."""
+    n = sims.shape[-1]
+    k = min(k, n)
+    if k < n:
+        part = np.argpartition(-sims, k - 1, axis=-1)[..., :k]
+    else:
+        part = np.broadcast_to(np.arange(n), sims.shape).copy()
+    order = np.argsort(-np.take_along_axis(sims, part, -1), axis=-1)
+    return np.take_along_axis(part, order, -1)
+
+
+def _recalls_from_top(all_top, grd_iids, topN) -> dict:
     recalls = {}
     for N in topN:
-        hits = sum(
-            1 for grd, top in zip(grd_iids, all_top) if grd in top[:N]
-        )
+        hits = sum(1 for grd, top in zip(grd_iids, all_top) if grd in top[:N])
         recalls[N] = hits / len(grd_iids)
-    return np.asarray(preds), recalls
+    return recalls
+
+
+def topn_recall_grouped(
+    gen_emb: np.ndarray,
+    cates: Sequence[int],
+    cate_iid_dict: dict,
+    cnn_features: np.ndarray,
+    grd_iids: Sequence[int],
+    topN: Sequence[int] = (10, 20, 50, 100),
+):
+    """Catalog-scale top-N retrieval: rows grouped by category so each category pool
+    is normalized once and scored with ONE [rows, D] @ [D, pool] matmul (the
+    reference's per-row loops over `map/cate_iid_dict.npy` pools,
+    `evaluate_grounding_gor.py:204-282`, are O(N * pool) Python work).
+
+    Returns (top1_preds [N], recalls {N: recall}) — identical to calling
+    `topn_recall` with per-row pools."""
+    cates = np.asarray(cates)
+    gen_n = _l2norm(gen_emb)
+    maxN = max(topN)
+    n = len(gen_emb)
+    preds = np.zeros(n, np.int64)
+    all_top: list = [None] * n
+    for c in np.unique(cates):
+        rows = np.nonzero(cates == c)[0]
+        iids = np.asarray(cate_iid_dict[int(c)], np.int64)
+        pool = _l2norm(cnn_features[iids])
+        sims = gen_n[rows] @ pool.T
+        topk = _topk_desc(sims, maxN)
+        for ri, r in enumerate(rows):
+            all_top[r] = iids[topk[ri]]
+            preds[r] = all_top[r][0]
+    return preds, _recalls_from_top(all_top, grd_iids, topN)

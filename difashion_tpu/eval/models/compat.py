@@ -106,15 +106,16 @@ def import_compat_params(template, state_dict) -> dict:
 def gather_outfit_feats(outfits: np.ndarray, cnn_feats: np.ndarray,
                         cnn_feats_gen: np.ndarray | None) -> np.ndarray:
     """Reference pointer convention (`eval_utils.py:575-584`): iid > 0 indexes the
-    catalog features; iid <= 0 indexes generated-image features at -iid."""
-    B, olen = outfits.shape
-    D = cnn_feats.shape[-1]
-    out = np.empty((B, olen, D), cnn_feats.dtype)
-    for b in range(B):
-        for j in range(olen):
-            iid = int(outfits[b, j])
-            if iid <= 0:
-                out[b, j] = cnn_feats_gen[-iid]
-            else:
-                out[b, j] = cnn_feats[iid]
-    return out
+    catalog features; iid <= 0 indexes generated-image features at -iid.
+
+    Vectorized (two fancy-indexed gathers + a mask select) — the reference's Python
+    loop is O(B*olen) feature copies, which matters at catalog-scale grounding runs."""
+    idx = np.asarray(outfits, np.int64)
+    neg = idx <= 0
+    out = cnn_feats[np.where(neg, 0, idx)]
+    if neg.any():
+        if cnn_feats_gen is None:
+            raise ValueError("outfits contain generated-item pointers (iid <= 0) "
+                             "but cnn_feats_gen is None")
+        out[neg] = cnn_feats_gen[(-idx)[neg]]
+    return out.astype(cnn_feats.dtype, copy=False)
