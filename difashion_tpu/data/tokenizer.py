@@ -30,12 +30,22 @@ BOS_ID = 49406
 EOS_ID = 49407
 MODEL_MAX_LENGTH = 77
 
-# CLIP's regex uses \p{L}/\p{N}; the prompts here are ASCII ("A photo of a ...",
-# category names), where this stdlib-re equivalent is identical.
-_WORD_RE = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]|[^\sa-z0-9]+""",
-    re.IGNORECASE,
-)
+# CLIP's word-split regex uses \p{L}/\p{N} (unicode letters / numerals). The stdlib
+# `re` can't express those, so use the `regex` module (a transformers dependency,
+# present wherever transformers is) and keep an ASCII-equivalent fallback — identical
+# on the ASCII prompts this model builds ("A photo of a ...", category names).
+try:
+    import regex as _regex
+
+    _WORD_RE = _regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover
+    _WORD_RE = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]|[^\sa-z0-9]+""",
+        re.IGNORECASE,
+    )
 
 
 def whitespace_clean(text: str) -> str:
@@ -126,9 +136,21 @@ class CLIPBPETokenizer:
         text = whitespace_clean(text).lower()
         ids: List[int] = []
         for tok in _WORD_RE.findall(text):
+            # special tokens map straight to their ids (HF added-token behavior),
+            # never through BPE
+            if tok == "<|startoftext|>":
+                ids.append(self.bos_id)
+                continue
+            if tok == "<|endoftext|>":
+                ids.append(self.eos_id)
+                continue
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(tok))
         return ids
+
+    def encode(self, text: str) -> List[int]:
+        """[BOS] + BPE ids + [EOS], no padding/truncation (HF `input_ids` shape)."""
+        return [self.bos_id] + self._encode_text(text) + [self.eos_id]
 
     def __call__(self, texts: Sequence[str], max_length: Optional[int] = None
                  ) -> np.ndarray:
@@ -174,11 +196,31 @@ class HashTokenizer:
         return out
 
 
-def load_tokenizer(tokenizer_dir: Optional[str] = None, vocab_size: int = 49408):
-    """Real BPE if vocab files exist, hash fallback otherwise."""
+def load_tokenizer(tokenizer_dir: Optional[str] = None, vocab_size: int = 49408,
+                   strict: bool = False):
+    """Real BPE if vocab files exist, hash fallback otherwise.
+
+    The fallback is a *stand-in*: its ids have no relation to any trained text
+    encoder, so generated images / metric numbers computed through it are
+    meaningless. It is fine for tests and throughput runs only — hence the loud
+    warning, and `strict=True` (used by the quality-facing CLIs) refuses instead."""
     if tokenizer_dir:
         vocab = os.path.join(tokenizer_dir, "vocab.json")
         merges = os.path.join(tokenizer_dir, "merges.txt")
         if os.path.exists(vocab) and os.path.exists(merges):
             return CLIPBPETokenizer(vocab, merges)
+    if strict:
+        raise FileNotFoundError(
+            f"no CLIP tokenizer vocab at {tokenizer_dir!r} (need vocab.json + "
+            "merges.txt, e.g. an SD checkpoint's tokenizer/ folder). Refusing to "
+            "fall back to the hash stand-in for a quality-facing run; pass "
+            "--allow_random_weights to override."
+        )
+    import logging
+
+    logging.getLogger("difashion_tpu").warning(
+        "tokenizer: no vocab at %r — falling back to HashTokenizer. Ids are a "
+        "deterministic stand-in; DO NOT trust generated images or metrics from "
+        "this run.", tokenizer_dir,
+    )
     return HashTokenizer(vocab_size=vocab_size)
