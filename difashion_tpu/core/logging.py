@@ -31,14 +31,23 @@ def setup_logging(verbosity: str = "INFO") -> logging.Logger:
 
 
 class MetricLogger:
-    """Append-only JSONL metrics + periodic console lines."""
+    """Append-only JSONL metrics + periodic console lines + TensorBoard events.
+
+    The TensorBoard stream matches the reference's default tracker
+    (`accelerator.log({"train_loss": ...}, step=global_step)`, `train.py:289-297,715`):
+    every float metric becomes a scalar tag readable by `tensorboard --logdir`."""
 
     def __init__(self, out_dir: str, name: str = "metrics",
-                 console_every: int = 50):
+                 console_every: int = 50, tensorboard: bool = True):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, f"{name}.jsonl")
         self.console_every = console_every
         self._f = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            from difashion_tpu.core.tensorboard import TBEventWriter
+
+            self._tb = TBEventWriter(os.path.join(out_dir, "tb"))
 
     def log(self, step: int, **metrics) -> None:
         rec = {"step": int(step), "time": time.time()}
@@ -48,6 +57,12 @@ class MetricLogger:
         })
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            scalars = {k: v for k, v in rec.items()
+                       if isinstance(v, float) and k != "time"}
+            if scalars:
+                self._tb.add_scalars(step, scalars, wall_time=rec["time"])
+                self._tb.flush()
         if step % self.console_every == 0:
             pretty = " ".join(
                 f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
@@ -57,6 +72,8 @@ class MetricLogger:
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class StepTimer:

@@ -220,3 +220,43 @@ def test_checkpoint_async_save(tmp_path, tiny):
     store.save_async(state, 700)
     store.wait()
     assert store.all_steps() == [500, 600, 700]
+
+
+# ---------------------------------------------------------------------------
+# TensorBoard event writer (reference tracker parity: train.py:289-297,715)
+# ---------------------------------------------------------------------------
+
+def test_tb_writer_roundtrip(tmp_path):
+    from difashion_tpu.core.tensorboard import TBEventWriter, read_events
+
+    w = TBEventWriter(str(tmp_path))
+    w.add_scalar("train_loss", 0.25, step=1)
+    w.add_scalars(2, {"train_loss": 0.125, "lr": 1e-5})
+    w.close()
+
+    events = list(read_events(w.path, verify_crc=True))
+    assert events[0]["file_version"] == "brain.Event:2"
+    assert events[1]["step"] == 1
+    assert abs(events[1]["scalars"]["train_loss"] - 0.25) < 1e-7
+    assert events[2]["step"] == 2
+    assert set(events[2]["scalars"]) == {"train_loss", "lr"}
+    assert abs(events[2]["scalars"]["lr"] - 1e-5) < 1e-10
+
+
+def test_metric_logger_writes_tb_scalars(tmp_path):
+    import glob
+
+    from difashion_tpu.core.logging import MetricLogger
+    from difashion_tpu.core.tensorboard import read_events
+
+    ml = MetricLogger(str(tmp_path), tensorboard=True)
+    ml.log(0, loss=1.5, lr=1e-5, note="text-is-skipped")
+    ml.log(1, loss=1.25, lr=9e-6)
+    ml.close()
+
+    files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    evs = [e for e in read_events(files[0]) if e.get("scalars")]
+    assert [e["step"] for e in evs] == [0, 1]
+    assert abs(evs[1]["scalars"]["loss"] - 1.25) < 1e-7
+    assert "note" not in evs[0]["scalars"]
