@@ -43,28 +43,42 @@ from difashion_tpu.models.difashion import create_difashion
 
 def assemble_batch(
     batch: dict,
-    moments_mean: np.ndarray,
-    moments_logvar: np.ndarray,
+    moments_mean: Optional[np.ndarray],
+    moments_logvar: Optional[np.ndarray],
     input_ids_table: np.ndarray,   # [n_cate_rows, 77]
     cid_row: dict,
     hist_store: HistLatentStore,
     scaling_factor: float,
+    image_loader=None,             # (iid, np_rng) -> [H,W,3] in [-1,1]
+    np_rng: Optional[np.random.RandomState] = None,
 ) -> TrainBatch:
-    """Host-side dense batch assembly from item/category ids (pure index gathers)."""
+    """Host-side dense batch assembly from item/category ids (pure index gathers on
+    the fast path; raw-image loads + train transform when `image_loader` is set —
+    the reference's from-images mode, `train.py:435-444`, `difashion.py:132-145`)."""
     outfits = np.asarray(batch["outfits"])
     category = np.asarray(batch["category"])
     uids = np.asarray(batch["uids"])
     B, olen = outfits.shape
     flat = outfits.reshape(-1)
-    mean = moments_mean[flat].reshape((B, olen) + moments_mean.shape[1:])
-    logvar = moments_logvar[flat].reshape(mean.shape)
+    if image_loader is not None:
+        imgs = np.stack([image_loader(int(i), np_rng) for i in flat])
+        images = jnp.asarray(imgs.reshape((B, olen) + imgs.shape[1:]))
+        mean = logvar = None
+    else:
+        images = None
+        mean = jnp.asarray(
+            moments_mean[flat].reshape((B, olen) + moments_mean.shape[1:])
+        )
+        logvar = jnp.asarray(
+            moments_logvar[flat].reshape(mean.shape)
+        )
     rows = np.vectorize(cid_row.get)(category)
     ids = input_ids_table[rows.reshape(-1)].reshape(B, olen, -1)
     hist = hist_store.gather(uids, category)
     return TrainBatch(
-        images=None,
-        latent_mean=jnp.asarray(mean),
-        latent_logvar=jnp.asarray(logvar),
+        images=images,
+        latent_mean=mean,
+        latent_logvar=logvar,
         input_ids=jnp.asarray(ids.astype(np.int32)),
         hist_latents=jnp.asarray(hist),
     )
@@ -73,13 +87,14 @@ def assemble_batch(
 def run_training(
     cfg: Config,
     data: FashionData,
-    moments_mean: np.ndarray,
-    moments_logvar: np.ndarray,
+    moments_mean: Optional[np.ndarray],
+    moments_logvar: Optional[np.ndarray],
     hist_store: HistLatentStore,
     tokenizer,
     pretrained_dir: Optional[str] = None,
     max_steps: Optional[int] = None,
     log_dir: Optional[str] = None,
+    image_loader=None,
 ):
     """The training loop as a library function (CLI and tests share it)."""
     log = setup_logging()
@@ -148,11 +163,12 @@ def run_training(
     sync_every = max(1, metrics_log.console_every)
     imgs_per_step = tcfg.train_batch_size * data.train.outfits.shape[1]
     timer.start()
+    crop_rng = np.random.RandomState(tcfg.seed + 1)
     while step < max_steps:
         host_batch = loader.batch_at(step)
         batch = assemble_batch(
             host_batch, moments_mean, moments_logvar, ids_table, cid_row,
-            hist_store, sf,
+            hist_store, sf, image_loader=image_loader, np_rng=crop_rng,
         )
         batch = place_batch(batch)
         rng, step_rng = jax.random.split(rng)
@@ -192,6 +208,15 @@ def main(argv=None):
     p.add_argument("--snr_gamma", type=float, default=None)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
+    p.add_argument("--img_folder_path", default=None,
+                   help="catalog image root (enables first-run auto-precompute and "
+                        "--from_images)")
+    p.add_argument("--image_paths_npy", default=None,
+                   help="iid -> relative image path array")
+    p.add_argument("--from_images", action="store_true",
+                   help="train from raw images (bilinear resize + random crop + "
+                        "in-step VAE sample, reference train.py:435-444) instead of "
+                        "the precomputed-moments fast path")
     args = p.parse_args(argv)
 
     cfg = (Config.from_json(open(args.config).read()) if args.config
@@ -205,22 +230,67 @@ def main(argv=None):
     overrides["output_dir"] = args.output_dir
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, **overrides))
 
+    log = setup_logging()
     data = FashionData.load(args.data_path)
+    image_paths = (np.load(args.image_paths_npy, allow_pickle=True)
+                   if args.image_paths_npy else None)
+
     proc = load_processed(args.data_path, "all_item_moments")
     if proc is None:
-        raise SystemExit(
-            "catalog moments not found; run `python -m difashion_tpu.cli."
-            "extract_features --stage vae` first"
+        # first-run auto-precompute (reference train.py:466-487 runs
+        # preprocess_dataset when the processed/ cache is missing)
+        if image_paths is None or args.img_folder_path is None:
+            raise SystemExit(
+                "catalog moments not found; either pass --img_folder_path + "
+                "--image_paths_npy so training can precompute them on first run, "
+                "or run `python -m difashion_tpu.cli.extract_features --stage vae`"
+            )
+        from difashion_tpu.cli.extract_features import make_item_loader
+        from difashion_tpu.data.precompute import encode_catalog, save_processed
+
+        log.info("catalog moments cache missing — running first-run VAE precompute "
+                 "over %d items", len(image_paths))
+        model, params = create_difashion(cfg.model, jax.random.PRNGKey(0))
+        if args.pretrained_dir:
+            from difashion_tpu.core.importer import import_sd_checkpoint
+
+            params = import_sd_checkpoint(args.pretrained_dir, params)
+        item_loader = make_item_loader(
+            args.img_folder_path, image_paths, cfg.model.vae.sample_size
         )
+        proc = encode_catalog(model, params, item_loader, len(image_paths))
+        save_processed(args.data_path, "all_item_moments", **proc)
+        log.info("saved processed/all_item_moments.npz")
+
     moments_mean, moments_logvar = proc["mean"], proc["logvar"]
     all_latents = moments_mean * cfg.model.vae.scaling_factor
     hist_store = HistLatentStore.from_catalog(
         data.history.get("train", {}), all_latents
     )
     tokenizer = load_tokenizer(args.tokenizer_dir, cfg.model.text.vocab_size)
+
+    image_loader = None
+    if args.from_images:
+        if image_paths is None or args.img_folder_path is None:
+            raise SystemExit("--from_images needs --img_folder_path and "
+                             "--image_paths_npy")
+        import os as _os
+
+        from PIL import Image
+
+        from difashion_tpu.data.preprocessing import to_model_input
+
+        size = cfg.model.vae.sample_size
+
+        def image_loader(iid: int, np_rng):
+            img = Image.open(_os.path.join(
+                args.img_folder_path, str(image_paths[iid])
+            )).convert("RGB")
+            return to_model_input(img, size=size, crop="random", rng=np_rng)
+
     run_training(
         cfg, data, moments_mean, moments_logvar, hist_store, tokenizer,
-        pretrained_dir=args.pretrained_dir,
+        pretrained_dir=args.pretrained_dir, image_loader=image_loader,
     )
 
 

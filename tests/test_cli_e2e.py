@@ -125,3 +125,71 @@ def test_resume_training_continues(tmp_path):
     # second call resumes from checkpoint-2 and continues to 4
     state2, _ = run_training(cfg, data, mean, logvar, hist, tok, max_steps=4)
     assert int(state2.step) == 4
+
+
+@pytest.mark.slow
+def test_train_cli_auto_precompute_from_images(tmp_path):
+    """Bare dataset dir -> `cli.train.main` auto-runs the VAE-moment precompute
+    (reference train.py:466-487) and trains from RAW images end to end
+    (--from_images; reference train.py:435-444)."""
+    from PIL import Image
+
+    from difashion_tpu.cli import train as train_cli
+
+    n_items = 12
+    rng = np.random.RandomState(3)
+    dpath = tmp_path / "data"
+    dpath.mkdir()
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+
+    # catalog images: non-square so the random-crop path is exercised
+    rel_paths = []
+    for i in range(n_items):
+        arr = rng.randint(0, 255, size=(80, 64, 3), dtype=np.uint8)
+        name = f"item{i}.png"
+        Image.fromarray(arr).save(img_dir / name)
+        rel_paths.append(name)
+    paths_npy = tmp_path / "all_item_image_paths.npy"
+    np.save(paths_npy, np.array(rel_paths, dtype=object))
+
+    # dataset .npy files in the reference schema (SURVEY.md §2d)
+    n_rows = 6
+    outfits = rng.randint(1, n_items, size=(n_rows, 4))
+    np.save(dpath / "train.npy", np.array({
+        "uids": list(rng.randint(1, 3, n_rows)),
+        "oids": list(range(100, 100 + n_rows)),
+        "outfits": [list(o) for o in outfits],
+        "category": [list(c) for c in rng.randint(1, 5, size=(n_rows, 4))],
+    }, dtype=object))
+    np.save(dpath / "train_history.npy",
+            np.array({1: {2: [3, 4]}}, dtype=object))
+    np.save(dpath / "id_cate_dict.npy",
+            np.array({c: f"cate{c}" for c in range(1, 5)}, dtype=object))
+
+    out_dir = tmp_path / "ckpt"
+    train_cli.main([
+        "--data_path", str(dpath),
+        "--output_dir", str(out_dir),
+        "--tiny",
+        "--max_train_steps", "2",
+        "--train_batch_size", "2",
+        "--img_folder_path", str(img_dir),
+        "--image_paths_npy", str(paths_npy),
+        "--from_images",
+    ])
+
+    # auto-precompute artifact + checkpoints on disk
+    assert (dpath / "processed" / "all_item_moments.npz").exists()
+    assert (out_dir / "checkpoint-2").exists()
+
+    # second invocation must reuse the cache (no images needed for the fast path)
+    train_cli.main([
+        "--data_path", str(dpath),
+        "--output_dir", str(out_dir),
+        "--tiny",
+        "--max_train_steps", "3",
+        "--train_batch_size", "2",
+        "--resume_from_checkpoint", "latest",
+    ])
+    assert (out_dir / "checkpoint-3").exists()
