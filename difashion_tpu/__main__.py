@@ -5,6 +5,7 @@ Commands mirror the reference's public entry points (`/root/reference/README.md:
   generate           FITB/GOR inference for evaluation (inf4eval equivalent)
   evaluate           metric cascades over generated runs (Evaluation/ equivalent)
   extract-features   catalog VAE moments + CLIP features + history means
+  parity             turnkey quality-parity runbook (generate + evaluate + 2% gates)
   serve              warm-model HTTP generation service
 """
 import sys
@@ -23,6 +24,8 @@ def main():
         from difashion_tpu.cli.evaluate import main as run
     elif cmd in ("extract-features", "extract_features"):
         from difashion_tpu.cli.extract_features import main as run
+    elif cmd == "parity":
+        from difashion_tpu.cli.parity import main as run
     elif cmd == "serve":
         from difashion_tpu.cli.serve import main as run
     else:

@@ -56,12 +56,16 @@ def main(argv=None):
                         "(reference Evaluation/finetuned_inception/cid_to_label.npy)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="run even when eval backbones have no pretrained weights "
+                        "(random init; metric numbers will be meaningless)")
     args = p.parse_args(argv)
 
     log = setup_logging()
     data = FashionData.load(args.data_path)
     X = build_extractors(args.weights_dir, batch_size=args.batch_size,
-                         tiny=args.tiny)
+                         tiny=args.tiny,
+                         allow_random=args.allow_random_weights)
 
     image_paths = (np.load(args.image_paths_npy, allow_pickle=True)
                    if args.image_paths_npy else None)

@@ -71,6 +71,9 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--no_ema", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="permit the hash-tokenizer fallback (outputs will be "
+                        "meaningless; tests/throughput only)")
     args = p.parse_args(argv)
 
     log = setup_logging()
@@ -103,7 +106,8 @@ def main(argv=None):
              cfg.model.vae.latent_channels), np.float32
         ),
     )
-    tokenizer = load_tokenizer(args.tokenizer_dir, cfg.model.text.vocab_size)
+    tokenizer = load_tokenizer(args.tokenizer_dir, cfg.model.text.vocab_size,
+                               strict=not args.allow_random_weights)
 
     pipe = GenerationPipeline(
         model, params, cfg, data.id_cate_dict, tokenizer, hist_store,

@@ -71,6 +71,7 @@ class Extractors:
     clip_tokenizer: object           # texts -> [N,77] ids
     batch_size: int = 32
     clip_size: int = 224
+    random_towers: tuple = ()        # backbones left at random init (no weights found)
 
     # ---- convenience wrappers (host numpy in/out, batched) -------------------
 
@@ -124,12 +125,16 @@ def build_extractors(
     dtype=jnp.float32,
     tiny: bool = False,
     rng: Optional[jax.Array] = None,
+    allow_random: bool = True,
 ) -> Extractors:
     """Build all backbones. `weights_dir` may contain:
       open_clip_vit_h14.(safetensors|bin), fid_inception.(pth|bin),
       finetuned_inception.(pth|bin), vgg16.(pth|bin), lpips_vgg.(pth|bin),
       {ifashion|polyvore}_evaluator.pth
-    Missing files leave the corresponding tower randomly initialized."""
+    Missing files leave the corresponding tower randomly initialized — fine for
+    tests/throughput, catastrophic for quality numbers. `allow_random=False`
+    (quality-facing CLIs) refuses instead; the returned `random_towers` tuple
+    records any degradation either way."""
     from difashion_tpu.core.importer import load_state_dict
     from difashion_tpu.data.tokenizer import load_tokenizer
 
@@ -156,31 +161,59 @@ def build_extractors(
                 return load_state_dict(p)
         return None
 
+    random_towers = []
     sd = maybe("open_clip_vit_h14")
     if sd is not None:
         clip_img_params, clip_txt_params = import_openclip_params(
             clip_img_params, clip_txt_params, sd
         )
+    else:
+        random_towers.append("open_clip_vit_h14")
     sd = maybe("fid_inception")
     if sd is not None:
         fid_vars = import_inception_params(fid_vars, sd)
+    else:
+        random_towers.append("fid_inception")
     sd = maybe("finetuned_inception")
     if sd is not None:
         cls_vars = import_inception_params(cls_vars, sd, num_classes=num_classes)
+    else:
+        random_towers.append("finetuned_inception")
     sd = maybe("vgg16")
     if sd is not None:
         lp_params = dict(lp_params)
         lp_params["vgg"] = import_vgg_params(lp_params["vgg"], sd)
+    else:
+        random_towers.append("vgg16")
     sd = maybe("lpips_vgg")
     if sd is not None:
         lp_params = import_lpips_lins(dict(lp_params), sd)
+    else:
+        random_towers.append("lpips_vgg")
     for name in ("ifashion_evaluator", "polyvore_evaluator", "compat_evaluator"):
         sd = maybe(name)
         if sd is not None:
             cp_params = import_compat_params(cp_params, sd)
             break
+    else:
+        random_towers.append("compat_evaluator")
+
+    if random_towers:
+        import logging
+
+        msg = (
+            f"eval backbones WITHOUT real weights (random init): {random_towers} "
+            f"(weights_dir={weights_dir!r}). Metric numbers from these towers are "
+            "meaningless."
+        )
+        if not allow_random:
+            raise FileNotFoundError(
+                msg + " Refusing; pass --allow_random_weights to override."
+            )
+        logging.getLogger("difashion_tpu").warning("%s", msg)
 
     return Extractors(
+        random_towers=tuple(random_towers),
         clip_image_fn=jax.jit(lambda x: clip_img.apply({"params": clip_img_params}, x)),
         clip_text_fn=jax.jit(lambda x: clip_txt.apply({"params": clip_txt_params}, x)),
         fid_features_fn=jax.jit(lambda x: fid_m.apply(fid_vars, x)),
