@@ -135,8 +135,8 @@ class UNet2DCondition(nn.Module):
                 h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{bi}_upsample")(h)
 
         # ---- out ---------------------------------------------------------------
-        h = GroupNorm(cfg.norm_num_groups, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(cfg.norm_num_groups, dtype=self.dtype, act="silu",
+                      name="conv_norm_out")(h)
         h = Conv2d(cfg.out_channels, 3, dtype=self.dtype, name="conv_out")(h)
         return h
 

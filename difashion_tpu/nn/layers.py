@@ -54,24 +54,42 @@ class TimestepEmbedding(nn.Module):
         return x
 
 
+class _GNParams(nn.Module):
+    """Parameter holder producing the same tree path as flax's nn.GroupNorm
+    (`.../GroupNorm_0/{scale,bias}`) so checkpoints/importers are unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
 class GroupNorm(nn.Module):
-    """GroupNorm with torch-compatible semantics (eps 1e-5/1e-6, affine)."""
+    """GroupNorm with torch-compatible semantics (eps 1e-5/1e-6, affine).
+
+    `act="silu"` fuses the following activation into the Pallas kernel
+    (`nn/pallas/groupnorm.py`) — one HBM round-trip instead of XLA's
+    stats-pass + normalize-pass + activation-pass with fp32 materialization."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
+    act: Any = None  # None | "silu"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # Normalize in fp32 for stability, cast back to compute dtype.
-        orig_dtype = x.dtype
-        out = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return out.astype(orig_dtype)
+        from difashion_tpu.nn.pallas.groupnorm import group_norm_act
+
+        scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
+        return group_norm_act(
+            x, scale, bias, groups=self.num_groups, eps=self.epsilon,
+            act=self.act,
+        )
 
 
 class Conv2d(nn.Module):
@@ -119,15 +137,15 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None, deterministic: bool = True):
         in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, act="silu",
+                      name="norm1")(x)
         h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.silu(temb)
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(t)
             h = h + t[:, None, None, :]
-        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, act="silu",
+                      name="norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
@@ -160,7 +178,10 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # 2x nearest as broadcast+reshape (identical to torch interpolate-nearest;
+        # avoids jax.image.resize's gather lowering so XLA fuses it into the conv)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        x = x.reshape(b, h * 2, w * 2, c)
         return Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv")(x)
 
 

@@ -68,7 +68,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv, kv_len,
         )
         return alpha * acc + pv, m_new, l_new
 
-    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    if num_kv <= 8:
+        # static unroll: Mosaic can software-pipeline the VPU softmax of block i
+        # against the MXU QK dot of block i+1 (a fori_loop body serializes them)
+        carry = (acc0, m0, l0)
+        for i in range(num_kv):
+            carry = body(i, carry)
+        acc, m, l = carry
+    else:
+        acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     # lse is materialized as [8 sublanes, block_q] (TPU block shapes need the
     # second-to-last dim divisible by 8); all 8 rows carry the same values.
@@ -282,13 +290,20 @@ def _flash_core_bwd(scale, block_q, block_kv, interpret, kv_len, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+import os as _os
+
+# forward KV block size: 4096 = whole-KV single block (round-1 autotune);
+# smaller blocks unroll and let softmax overlap the next block's QK matmul
+_DEFAULT_BLOCK_KV = int(_os.environ.get("DIFASHION_FLASH_BLOCK_KV", "4096"))
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
     block_q: int = 256,
-    block_kv: int = 4096,
+    block_kv: int = _DEFAULT_BLOCK_KV,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention with Pallas forward + backward.

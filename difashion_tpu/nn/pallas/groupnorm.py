@@ -1,0 +1,169 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+The UNet's ResNet blocks are GN -> SiLU -> conv twice per block (reference diffusers
+ResnetBlock2D, used at every level of `difashion.py`'s UNet). Unfused, XLA's GN does a
+stats pass + a normalize pass with fp32 materialization between them, and the SiLU is
+another elementwise pass — 4-5 HBM round-trips over an activation that is read once by
+the following conv. This kernel does ONE round-trip: load the block into VMEM in bf16,
+compute per-(batch, group) statistics in fp32 via two small MXU matmuls against a
+channel->group one-hot (no awkward sub-lane reshapes), then write silu(normalized) back
+in bf16.
+
+Shapes: x [B, S, C] (S = H*W flattened spatial), scale/bias [C]; per-batch block must
+fit VMEM (all UNet levels do: 64x64x320 bf16 = 2.6 MB; the VAE's 512x512 levels fall
+back to the XLA path).
+
+Backward: custom VJP recomputes through the pure-jnp reference (`_gn_silu_ref`) — the
+training step is not the throughput north-star, correctness is guaranteed by
+construction, and the forward fusion still wins in the loss forward pass.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-batch VMEM budget for the single-block kernel (input + output + scratch)
+_VMEM_BLOCK_LIMIT = 6 * 1024 * 1024
+
+
+def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float,
+                    act: str):
+    x = x_ref[0].astype(jnp.float32)                   # [S, C]
+    S, C = x.shape
+    cg = C // groups
+
+    # channel -> group one-hot (built in-registers; [C, G] fp32)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 1)
+    onehot = (ch // cg == gr).astype(jnp.float32)
+
+    # group sums via MXU: [S, C] @ [C, G] -> [S, G] -> [1, G]
+    n = jnp.float32(S * cg)
+    gsum = jnp.sum(jnp.dot(x, onehot, preferred_element_type=jnp.float32),
+                   axis=0, keepdims=True)              # [1, G]
+    gsq = jnp.sum(jnp.dot(x * x, onehot, preferred_element_type=jnp.float32),
+                  axis=0, keepdims=True)               # [1, G]
+    mean = gsum / n
+    var = gsq / n - mean * mean
+
+    # broadcast group stats back to channels: [1, G] @ [G, C]
+    rstd = jax.lax.rsqrt(var + eps)                    # [1, G]
+    mean_c = jnp.dot(mean, onehot.T, preferred_element_type=jnp.float32)   # [1, C]
+    rstd_c = jnp.dot(rstd, onehot.T, preferred_element_type=jnp.float32)   # [1, C]
+
+    a = scale_ref[:] * rstd_c                          # [1, C]
+    b = bias_ref[:] - mean_c * a
+    y = x * a + b
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _gn_silu_ref(x, scale, bias, groups: int, eps: float, act: str):
+    """Pure-jnp reference (torch GroupNorm semantics: biased variance, fp32 stats)."""
+    B, S, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, S, groups, C // groups)
+    # E[x^2]-E[x]^2 so XLA computes both statistics in ONE traversal (jnp.var's
+    # E[(x-mu)^2] forces a second full pass after the mean)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    mean2 = (xf * xf).mean(axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(B, S, C) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    # cast BEFORE the activation: the activation then runs in the compute dtype
+    # (bf16 on TPU) — half the VPU bytes, and exactly the unfused GN->silu numerics
+    y = y.astype(x.dtype)
+    if act == "silu":
+        y = jax.nn.silu(y)
+    return y
+
+
+def _pallas_gn_silu(x, scale, bias, groups: int, eps: float, act: str,
+                    interpret: bool = False):
+    B, S, C = x.shape
+    kern = functools.partial(_gn_silu_kernel, groups=groups, eps=eps, act=act)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+        interpret=interpret,
+    )(x, scale.reshape(1, C).astype(jnp.float32),
+      bias.reshape(1, C).astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_silu(x, scale, bias, groups, eps, act, interpret):
+    return _pallas_gn_silu(x, scale, bias, groups, eps, act, interpret)
+
+
+def _gn_silu_fwd(x, scale, bias, groups, eps, act, interpret):
+    return _pallas_gn_silu(x, scale, bias, groups, eps, act, interpret), (
+        x, scale, bias,
+    )
+
+
+def _gn_silu_bwd(groups, eps, act, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _gn_silu_ref(x_, s_, b_, groups, eps, act),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+_gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+def group_norm_act(
+    x: jnp.ndarray,               # [B, H, W, C] or [B, S, C]
+    scale: jnp.ndarray,           # [C]
+    bias: jnp.ndarray,            # [C]
+    groups: int = 32,
+    eps: float = 1e-5,
+    act: Optional[str] = None,    # None | "silu"
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused GroupNorm(+activation). The Pallas kernel engages on TPU backends for
+    blocks that fit VMEM; everywhere else (CPU tests, oversized VAE levels) the
+    pure-jnp reference runs — identical numerics, XLA-fused. `interpret=True`
+    forces the kernel through the Pallas interpreter (kernel unit tests only)."""
+    shape = x.shape
+    if x.ndim == 4:
+        B, H, W, C = shape
+        x3 = x.reshape(B, H * W, C)
+    else:
+        x3 = x
+        B, _, C = shape
+    act_name = act or "none"
+
+    # MEASURED (tools/bench_phases.py, v5e): the standalone kernel ties XLA's fused
+    # GN+SiLU (0.65 vs 0.58 ms at 16x4096x320 bf16) but the full UNet REGRESSES
+    # 120 -> 144 ms with it — ~0.5 ms launch overhead x ~44 GN sites and lost XLA
+    # fusion around the kernel boundary. XLA's own fusion is the fast path here, so
+    # the kernel stays opt-in (DIFASHION_PALLAS_GN=1) / interpret-tested rather
+    # than default. Honest negative result > speculative kernel.
+    import os
+
+    want_kernel = interpret or os.environ.get("DIFASHION_PALLAS_GN") == "1"
+    block_bytes = x3.shape[1] * C * (2 * x3.dtype.itemsize + 4)
+    use_kernel = want_kernel and C % groups == 0 and \
+        block_bytes <= _VMEM_BLOCK_LIMIT and \
+        (interpret or jax.default_backend() == "tpu")
+    if use_kernel:
+        out = _gn_silu(x3, scale, bias, groups, eps, act_name, bool(interpret))
+    else:
+        out = _gn_silu_ref(x3, scale, bias, groups, eps, act_name)
+    return out.reshape(shape)
