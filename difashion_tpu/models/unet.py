@@ -118,11 +118,12 @@ class UNet2DCondition(nn.Module):
             has_attn = block_type == "CrossAttnUpBlock2D"
             for li in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
+                # skip passed separately: norm1/conv1/shortcut run in split form
+                # (no lane-misaligned channel concat; see ResnetBlock2D)
                 h = ResBlock(
                     out_ch, groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{bi}_resnet_{li}",
-                )(h, temb)
+                )(h, temb, True, skip)
                 if has_attn:
                     heads = cfg.fixed_num_heads or out_ch // cfg.attention_head_dim
                     h = Spatial(

@@ -22,6 +22,11 @@ Dtype = Any
 # Flash attention engages for self-attention sequences at or above this length and only
 # on TPU backends; XLA's fused attention handles the small cases well.
 FLASH_MIN_SEQ = 1024
+# ... and only when KV is at least this long: for the 77-token cross-attention XLA's
+# fused softmax beats the kernel (1.9 vs 2.3 ms at the 64x64 level, tools/bench_flash.py
+# — per-grid-cell overhead dominates when each cell's MXU work is a [*, 64]x[64, 128]
+# sliver).
+FLASH_MIN_KV = 256
 
 
 def _on_tpu() -> bool:
@@ -37,7 +42,13 @@ def sdpa(q, k, v, scale=None, mask=None, use_flash: Optional[bool] = None):
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if use_flash is None:
-        use_flash = _on_tpu() and q.shape[2] >= FLASH_MIN_SEQ and mask is None
+        # d > 128 (the VAE's single 512-wide head) keeps the whole 4 MB K/V
+        # resident per grid row; Mosaic's input double-buffering then overflows
+        # the 16 MB scoped VMEM — XLA handles that one fine (it's a single
+        # attention per decode).
+        use_flash = (_on_tpu() and q.shape[2] >= FLASH_MIN_SEQ
+                     and k.shape[2] >= FLASH_MIN_KV and q.shape[3] <= 128
+                     and mask is None)
     if use_flash:
         return flash_attention(q, k, v, scale=scale)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
@@ -89,17 +100,21 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x.astype(jnp.float32))
+        # LayerNorm stats are computed in fp32 inside flax regardless of `dtype`;
+        # normalizing at compute dtype avoids materializing a fp32 copy of the
+        # [B, S, C] activations three times per block (torch-fp16 reference
+        # semantics are the same: half-precision LN with fp32 accumulation).
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
-        )(h.astype(self.dtype))
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x.astype(jnp.float32))
+        )(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(
             self.dim, self.heads, self.head_dim, context_dim=self.context_dim,
             dtype=self.dtype, name="attn2",
-        )(h.astype(self.dtype), context)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x.astype(jnp.float32))
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h.astype(self.dtype))
+        )(h, context)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 
 

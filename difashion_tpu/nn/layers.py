@@ -7,7 +7,7 @@ reference's NCHW), params are fp32 with a configurable compute dtype (bf16 on TP
 from __future__ import annotations
 
 import math
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -72,9 +72,13 @@ class _GNParams(nn.Module):
 class GroupNorm(nn.Module):
     """GroupNorm with torch-compatible semantics (eps 1e-5/1e-6, affine).
 
-    `act="silu"` fuses the following activation into the Pallas kernel
-    (`nn/pallas/groupnorm.py`) — one HBM round-trip instead of XLA's
-    stats-pass + normalize-pass + activation-pass with fp32 materialization."""
+    `act="silu"` fuses the following activation into the normalize pass.
+
+    Called with a second tensor, normalizes the *virtual concatenation*
+    [x ; skip] along channels but returns the two normalized halves separately —
+    the UNet up-path uses this with split convolutions so the lane-misaligned
+    channel concat (C=320/640/1280 are not multiples of 128) never materializes
+    (~0.7 ms per up-block conv on v5e, tools/bench_concat.py)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -82,18 +86,52 @@ class GroupNorm(nn.Module):
     act: Any = None  # None | "silu"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from difashion_tpu.nn.pallas.groupnorm import group_norm_act
+    def __call__(self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None):
+        from difashion_tpu.nn.pallas.groupnorm import (
+            group_norm_act,
+            group_norm_cat_act,
+        )
 
-        scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
-        return group_norm_act(
-            x, scale, bias, groups=self.num_groups, eps=self.epsilon,
+        features = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        scale, bias = _GNParams(features, name="GroupNorm_0")()
+        if skip is None:
+            return group_norm_act(
+                x, scale, bias, groups=self.num_groups, eps=self.epsilon,
+                act=self.act,
+            )
+        return group_norm_cat_act(
+            (x, skip), scale, bias, groups=self.num_groups, eps=self.epsilon,
             act=self.act,
         )
 
 
+class _ConvParams(nn.Module):
+    """Param holder with nn.Conv's exact tree layout/initialization
+    (`.../Conv_0/{kernel,bias}`, lecun-normal kernel, zero bias) so checkpoints
+    and importers are unchanged while Conv2d controls the compute itself."""
+
+    kernel_shape: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.kernel_shape, jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.kernel_shape[-1],), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class Conv2d(nn.Module):
-    """3x3/1x1 NHWC conv wrapper with torch-style SAME-from-padding semantics."""
+    """3x3/1x1 NHWC conv wrapper with torch-style SAME-from-padding semantics.
+
+    Called with a second tensor, computes conv(concat([x, skip], -1), kernel)
+    WITHOUT materializing the concat: the kernel is sliced along its input-
+    channel axis and the two partial convolutions are summed. The skip channel
+    counts (320/640/1280) are not lane-tile multiples, so the explicit concat
+    costs a 64-lane-shift relayout (~0.7 ms per up-block conv at the UNet's
+    64x64 level, tools/bench_concat.py)."""
 
     features: int
     kernel_size: int = 3
@@ -103,22 +141,33 @@ class Conv2d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         k = self.kernel_size
         if self.padding is None:
             p = (k - 1) // 2
             padding = [(p, p), (p, p)]
         else:
             padding = self.padding
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(k, k),
-            strides=(self.strides, self.strides),
-            padding=padding,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        c1 = x.shape[-1]
+        in_features = c1 + (skip.shape[-1] if skip is not None else 0)
+        kernel, bias = _ConvParams(
+            (k, k, in_features, self.features), self.use_bias, name="Conv_0")()
+        kernel = kernel.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        strides = (self.strides, self.strides)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel[:, :, :c1], strides, padding,
+            dimension_numbers=dn,
+        )
+        if skip is not None:
+            y = y + jax.lax.conv_general_dilated(
+                skip.astype(self.dtype), kernel[:, :, c1:], strides, padding,
+                dimension_numbers=dn,
+            )
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ResnetBlock2D(nn.Module):
@@ -135,11 +184,20 @@ class ResnetBlock2D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb=None, deterministic: bool = True):
-        in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype, act="silu",
-                      name="norm1")(x)
-        h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
+    def __call__(self, x, temb=None, deterministic: bool = True, skip=None):
+        """With `skip`, behaves as if called on concat([x, skip], -1) but runs
+        norm1/conv1/conv_shortcut in split form (GroupNorm/Conv2d docstrings) —
+        the UNet up-path skip concat never materializes."""
+        in_channels = x.shape[-1] + (0 if skip is None else skip.shape[-1])
+        if skip is None:
+            h = GroupNorm(self.groups, self.epsilon, dtype=self.dtype,
+                          act="silu", name="norm1")(x)
+            h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
+        else:
+            hx, hs = GroupNorm(self.groups, self.epsilon, dtype=self.dtype,
+                               act="silu", name="norm1")(x, skip)
+            h = Conv2d(self.out_channels, 3, dtype=self.dtype,
+                       name="conv1")(hx, hs)
         if self.use_time_emb and temb is not None:
             t = nn.silu(temb)
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(t)
@@ -150,7 +208,10 @@ class ResnetBlock2D(nn.Module):
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
-            x = Conv2d(self.out_channels, 1, dtype=self.dtype, name="conv_shortcut")(x)
+            x = Conv2d(self.out_channels, 1, dtype=self.dtype,
+                       name="conv_shortcut")(x, skip)
+        elif skip is not None:  # pragma: no cover - not hit by SD topologies
+            x = jnp.concatenate([x, skip], axis=-1)
         return x + h
 
 

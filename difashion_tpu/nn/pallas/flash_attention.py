@@ -28,6 +28,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = math.log2(math.e)
+
+# Mosaic's default scoped-VMEM budget is 16 MB of the chip's 128 MB; the flash
+# schedules want headroom for unrolled softmax pipelining + resident K/V. Both
+# grid dims are embarrassingly parallel in every kernel here.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel"),
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -40,7 +49,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv, kv_len,
                 kv_padded):
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)      # [block_q, d]
+    # scale folded together with log2(e): scores live in the base-2 domain, so the
+    # softmax uses exp2 directly (exp(x) lowers to exp2(x*log2e) — pre-scaling q
+    # removes that per-element multiply from the hot [block_q, block_kv] loop).
+    q = q_ref[0] * jnp.asarray(scale * LOG2E, q_ref.dtype)   # [block_q, d]
     block_q, d = q.shape
     num_kv = kv_padded // block_kv
 
@@ -59,8 +71,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv, kv_len,
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             s = jnp.where(col + i * block_kv < kv_len, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -68,9 +80,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv, kv_len,
         )
         return alpha * acc + pv, m_new, l_new
 
-    if num_kv <= 8:
-        # static unroll: Mosaic can software-pipeline the VPU softmax of block i
-        # against the MXU QK dot of block i+1 (a fori_loop body serializes them)
+    # Static unroll lets Mosaic software-pipeline the VPU softmax of block i
+    # against the MXU QK dot of block i+1 (a fori_loop body serializes them) —
+    # but every unrolled iteration's live temporaries (fp32 scores + p + pv)
+    # occupy scoped VMEM simultaneously, alongside the resident K/V. The
+    # pallas_call raises Mosaic's scoped-VMEM budget to 100 MB (_COMPILER_PARAMS);
+    # keep the static estimate comfortably inside it or fall back to the rolled
+    # loop.
+    iter_bytes = block_q * block_kv * 6 + block_q * d * 4
+    kv_bytes = 2 * kv_padded * d * 2
+    if num_kv <= 16 and kv_bytes + num_kv * iter_bytes <= 48 * 1024 * 1024:
         carry = (acc0, m0, l0)
         for i in range(num_kv):
             carry = body(i, carry)
@@ -80,7 +99,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv, kv_len,
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     # lse is materialized as [8 sublanes, block_q] (TPU block shapes need the
     # second-to-last dim divisible by 8); all 8 rows carry the same values.
-    lse = (m + jnp.log(l))[:, 0]
+    # Emitted in the natural-log domain (m is base-2: divide back by log2e).
+    lse = (m / LOG2E + jnp.log(l))[:, 0]
     lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0]))
 
 
@@ -113,6 +133,7 @@ def _forward(q, k, v, scale, block_q, block_kv, interpret, kv_len):
             pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(q, k, v)
 
@@ -125,11 +146,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                scale, block_kv, kv_len, kv_padded):
     q = q_ref[0]                                        # [block_q, d] input dtype
     do = do_ref[0]
-    lse = lse_ref[0, 0][:, None]                        # [block_q, 1] fp32
+    # base-2 domain (see _fwd_kernel): p = exp2(s2 - lse*log2e)
+    lse = lse_ref[0, 0][:, None] * LOG2E                # [block_q, 1] fp32
     delta = delta_ref[0, 0][:, None]
     block_q, d = q.shape
     num_kv = kv_padded // block_kv
-    qs = q * jnp.asarray(scale, q.dtype)
+    qs = q * jnp.asarray(scale * LOG2E, q.dtype)
 
     def body(i, dq):
         k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
@@ -137,7 +159,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         s = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse)
         if kv_len != kv_padded:
             col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
             p = jnp.where(col + i * block_kv < kv_len, p, 0.0)
@@ -166,13 +188,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :]
         do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None] * LOG2E
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        qs = q * jnp.asarray(scale, q.dtype)
+        qs = q * jnp.asarray(scale * LOG2E, q.dtype)
         s = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                               # [block_q, block_kv]
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse)
         if kv_len is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
             p = jnp.where(col + kv_start < kv_len, p, 0.0)
@@ -228,6 +250,7 @@ def _backward(q, k, v, o, lse, do, scale, block_q, block_kv, interpret, kv_len):
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(q, k, v, do, lse, delta)
 
@@ -261,6 +284,7 @@ def _backward(q, k, v, o, lse, do, scale, block_q, block_kv, interpret, kv_len):
             pl.BlockSpec((1, block_kv, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(q, k, v, do, lse, delta)
     return dq, dk, dv
@@ -292,9 +316,13 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 import os as _os
 
-# forward KV block size: 4096 = whole-KV single block (round-1 autotune);
-# smaller blocks unroll and let softmax overlap the next block's QK matmul
-_DEFAULT_BLOCK_KV = int(_os.environ.get("DIFASHION_FLASH_BLOCK_KV", "4096"))
+# round-2 autotune (tools/bench_flash.py, v5e): block_q=512 x block_kv=512 is the
+# fastest schedule at the UNet's 4096-token level (5.9 ms vs 6.4 ms for the
+# whole-KV round-1 default) — the unrolled KV loop lets Mosaic overlap block i's
+# VPU softmax with block i+1's MXU QK dot. 1024-sized q blocks exceed the 16 MB
+# scoped-VMEM limit.
+_DEFAULT_BLOCK_KV = int(_os.environ.get("DIFASHION_FLASH_BLOCK_KV", "512"))
+_DEFAULT_BLOCK_Q = int(_os.environ.get("DIFASHION_FLASH_BLOCK_Q", "512"))
 
 
 def flash_attention(
@@ -302,7 +330,7 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 256,
+    block_q: int = _DEFAULT_BLOCK_Q,
     block_kv: int = _DEFAULT_BLOCK_KV,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -318,6 +346,11 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
+    # Wide heads (the VAE mid-attention's d=512) multiply every per-block
+    # temporary by d/64; clamp the q block so q/o/acc tiles stay register-sized
+    # (the 512x512 default schedule stack-OOMs the 16 MB scoped VMEM at d=512).
+    if d >= 256:
+        block_q = min(block_q, 256)
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(skv, 128))
     sq_pad = _round_up(sq, block_q)

@@ -65,16 +65,35 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: floa
 
 
 def _gn_silu_ref(x, scale, bias, groups: int, eps: float, act: str):
-    """Pure-jnp reference (torch GroupNorm semantics: biased variance, fp32 stats)."""
+    """Pure-jnp reference (torch GroupNorm semantics: biased variance, fp32 stats).
+
+    Layout-critical: the big [B, S, C] tensor is only ever reduced over S (the
+    sublane dim) and multiplied by [B, 1, C] operands — the channel (lane) dim is
+    never split. Reshaping C into [groups, C/groups] on the full activation
+    (C/G = 4..40 sub-lane slivers) forces XLA relayouts that run at <100 GB/s;
+    the group aggregation here happens on the tiny [B, C] moment arrays instead.
+    Measured (tools/bench_vae.py, v5e): the VAE's 256x256x256 GN+SiLU drops
+    ~4 ms -> ~0.9 ms with this form.
+    """
     B, S, C = x.shape
-    xf = x.astype(jnp.float32).reshape(B, S, groups, C // groups)
-    # E[x^2]-E[x]^2 so XLA computes both statistics in ONE traversal (jnp.var's
-    # E[(x-mu)^2] forces a second full pass after the mean)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    mean2 = (xf * xf).mean(axis=(1, 3), keepdims=True)
-    var = jnp.maximum(mean2 - mean * mean, 0.0)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(B, S, C) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    cg = C // groups
+    n = jnp.float32(S * cg)
+    xf = x.astype(jnp.float32)
+    # per-channel spatial moments, fp32 accumulation: [B, C]
+    s1 = jnp.sum(xf, axis=1)
+    s2 = jnp.sum(xf * xf, axis=1)
+    # channel -> group aggregation on the tiny [B, C] arrays
+    g1 = s1.reshape(B, groups, cg).sum(-1)             # [B, G]
+    g2 = s2.reshape(B, groups, cg).sum(-1)
+    mean_g = g1 / n
+    var_g = jnp.maximum(g2 / n - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # back to per-channel affine: y = x * a + b with a,b [B, 1, C]
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)           # [B, C]
+    rstd_c = jnp.repeat(rstd_g, cg, axis=-1)
+    a = scale.astype(jnp.float32) * rstd_c
+    b = bias.astype(jnp.float32) - mean_c * a
+    y = xf * a[:, None, :] + b[:, None, :]
     # cast BEFORE the activation: the activation then runs in the compute dtype
     # (bf16 on TPU) — half the VPU bytes, and exactly the unfused GN->silu numerics
     y = y.astype(x.dtype)
@@ -125,6 +144,59 @@ def _gn_silu_bwd(groups, eps, act, interpret, res, g):
 
 
 _gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+def group_norm_cat_act(
+    parts,                        # tuple of [B, H, W, Cp] / [B, S, Cp] tensors
+    scale: jnp.ndarray,           # [sum Cp]
+    bias: jnp.ndarray,            # [sum Cp]
+    groups: int = 32,
+    eps: float = 1e-5,
+    act: Optional[str] = None,
+):
+    """GroupNorm(+activation) over the virtual channel-concatenation of `parts`,
+    returned as separate normalized parts (same shapes as the inputs).
+
+    Numerically the group statistics are those of jnp.concatenate(parts, -1) —
+    per-part per-channel moments are concatenated on the tiny [B, C] arrays, so
+    the lane-misaligned concat of the full activations (the skip-connection
+    hot path: C=320/640/1280, none a lane-tile multiple) never materializes.
+    Group boundaries may straddle parts; the per-channel affine split handles
+    any boundary."""
+    shapes = [p.shape for p in parts]
+    x3s = [p.reshape(p.shape[0], -1, p.shape[-1]) for p in parts]
+    B = x3s[0].shape[0]
+    S = x3s[0].shape[1]
+    C = sum(p.shape[-1] for p in x3s)
+    cg = C // groups
+    n = jnp.float32(S * cg)
+
+    s1 = jnp.concatenate(
+        [jnp.sum(p.astype(jnp.float32), axis=1) for p in x3s], axis=-1)  # [B, C]
+    s2 = jnp.concatenate(
+        [jnp.sum(jnp.square(p.astype(jnp.float32)), axis=1) for p in x3s],
+        axis=-1)
+    g1 = s1.reshape(B, groups, cg).sum(-1)
+    g2 = s2.reshape(B, groups, cg).sum(-1)
+    mean_g = g1 / n
+    var_g = jnp.maximum(g2 / n - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=-1)
+    a = scale.astype(jnp.float32) * rstd_c                               # [B, C]
+    b = bias.astype(jnp.float32) - mean_c * a
+
+    outs = []
+    off = 0
+    for p, shape in zip(x3s, shapes):
+        cp = p.shape[-1]
+        y = (p.astype(jnp.float32) * a[:, None, off:off + cp]
+             + b[:, None, off:off + cp]).astype(p.dtype)
+        if act == "silu":
+            y = jax.nn.silu(y)
+        outs.append(y.reshape(shape))
+        off += cp
+    return tuple(outs)
 
 
 def group_norm_act(

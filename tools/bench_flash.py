@@ -1,0 +1,116 @@
+"""Autotune the Pallas flash-attention kernel at the UNet's real shapes.
+
+Sweeps (block_q, block_kv) for the self-attention levels (4096/1024 tokens) and
+compares the cross-attention (77-token KV) path against plain XLA SDPA, printing
+ms / TFLOP/s per config. The d=64 contraction caps the MXU at ~50% of bf16 peak
+(98.5 TFLOP/s); the sweep measures how close each schedule gets to that ceiling.
+
+Usage: python tools/bench_flash.py [--iters 5] [--case self64|self32|cross|all]
+"""
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+from difashion_tpu.nn.pallas.flash_attention import flash_attention
+
+
+def sync(x):
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def device_loop(fn, reps):
+    def run(q, k, v):
+        def body(_, h):
+            return fn(h, k, v)
+        return jax.lax.fori_loop(0, reps, body, q)
+    return jax.jit(run)
+
+
+def bench(fn, q, k, v, reps=16, iters=5):
+    f = device_loop(fn, reps)
+    out = f(q, k, v)
+    sync(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(f(q, k, v))
+        ts.append((time.perf_counter() - t0) / reps)
+    return min(ts)
+
+
+def attn_flops(b, h, sq, skv, d):
+    return 4 * b * h * sq * skv * d
+
+
+def xla_sdpa(q, k, v):
+    import math
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def run_case(name, b, h, sq, skv, d, blocks, iters):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, skv, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, skv, d), jnp.bfloat16)
+    fl = attn_flops(b, h, sq, skv, d)
+    rows = []
+    for (bq, bkv) in blocks:
+        fn = functools.partial(flash_attention, block_q=bq, block_kv=bkv)
+        dt = bench(fn, q, k, v, iters=iters)
+        rows.append((f"flash bq={bq} bkv={bkv}", dt))
+        print(f"{name:8s} flash bq={bq:4d} bkv={bkv:4d}: "
+              f"{dt*1e3:7.3f} ms  {fl/dt/1e12:6.1f} TFLOP/s", flush=True)
+    dt = bench(xla_sdpa, q, k, v, iters=iters)
+    rows.append(("xla sdpa", dt))
+    print(f"{name:8s} xla sdpa            : {dt*1e3:7.3f} ms  "
+          f"{fl/dt/1e12:6.1f} TFLOP/s", flush=True)
+    best = min(rows, key=lambda r: r[1])
+    print(f"{name:8s} BEST: {best[0]} ({best[1]*1e3:.3f} ms)", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--case", default="all")
+    args = p.parse_args()
+    want = lambda c: args.case in ("all", c)
+
+    if want("self64"):   # UNet 64x64 level: B16 H5 S4096 D64
+        run_case("self64", 16, 5, 4096, 4096, 64,
+                 [(512, 512), (1024, 512), (1024, 1024), (2048, 512),
+                  (1024, 2048), (4096, 512)],
+                 args.iters)
+    if want("self32"):   # 32x32 level: B16 H10 S1024 D64
+        run_case("self32", 16, 10, 1024, 1024, 64,
+                 [(256, 1024), (512, 512), (1024, 512), (1024, 1024)],
+                 args.iters)
+    if want("cross"):    # cross-attn: 77-token KV
+        run_case("cross64", 16, 5, 4096, 77, 64,
+                 [(512, 128), (2048, 128), (4096, 128)],
+                 args.iters)
+    if want("vae"):      # VAE mid attention: B4 H1 S4096 D512
+        run_case("vae", 4, 1, 4096, 4096, 512,
+                 [(256, 512), (256, 1024), (512, 512), (128, 1024)],
+                 args.iters)
+
+
+if __name__ == "__main__":
+    main()
