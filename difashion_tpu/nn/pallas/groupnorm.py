@@ -78,10 +78,12 @@ def _gn_silu_ref(x, scale, bias, groups: int, eps: float, act: str):
     B, S, C = x.shape
     cg = C // groups
     n = jnp.float32(S * cg)
-    xf = x.astype(jnp.float32)
-    # per-channel spatial moments, fp32 accumulation: [B, C]
-    s1 = jnp.sum(xf, axis=1)
-    s2 = jnp.sum(xf * xf, axis=1)
+    # per-channel spatial moments, fp32 accumulation: [B, C]. The upcasts stay
+    # inline (dtype= / per-use astype) so XLA fuses them into each traversal —
+    # a shared x.astype(f32) variable gets CSE'd into a materialized fp32 copy
+    # of the whole activation (profiler: 0.28 ms per 64x64 GN site).
+    s1 = jnp.sum(x, axis=1, dtype=jnp.float32)
+    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1)
     # channel -> group aggregation on the tiny [B, C] arrays
     g1 = s1.reshape(B, groups, cg).sum(-1)             # [B, G]
     g2 = s2.reshape(B, groups, cg).sum(-1)
@@ -93,7 +95,7 @@ def _gn_silu_ref(x, scale, bias, groups: int, eps: float, act: str):
     rstd_c = jnp.repeat(rstd_g, cg, axis=-1)
     a = scale.astype(jnp.float32) * rstd_c
     b = bias.astype(jnp.float32) - mean_c * a
-    y = xf * a[:, None, :] + b[:, None, :]
+    y = x.astype(jnp.float32) * a[:, None, :] + b[:, None, :]
     # cast BEFORE the activation: the activation then runs in the compute dtype
     # (bf16 on TPU) — half the VPU bytes, and exactly the unfused GN->silu numerics
     y = y.astype(x.dtype)

@@ -26,13 +26,18 @@ def find_trace(root: str):
 
 _BUCKETS = [
     ("conv", re.compile(r"conv", re.I)),
-    ("flash_attention", re.compile(r"flash|pallas", re.I)),
+    ("flash_attention", re.compile(r"flash|pallas|attn[12]\.|custom-call", re.I)),
     ("matmul", re.compile(r"dot|einsum|gemm", re.I)),
     ("reduce", re.compile(r"reduce|norm|mean|variance", re.I)),
     ("exp/softmax", re.compile(r"exp|softmax|log", re.I)),
     ("copy/transpose", re.compile(r"copy|transpose|reshape|broadcast|concat|pad|slice|gather|scatter|convert", re.I)),
+    ("fusion (unnamed)", re.compile(r"^fusion\.\d+$")),
     ("elementwise", re.compile(r"fusion|add|mul|sub|div|tanh|sigmoid|rsqrt|select", re.I)),
 ]
+
+# container/wrapper entries whose children are counted separately — summing
+# them double-counts the whole scan
+_CONTAINER = re.compile(r"^(jit_|while|body|cond|region|run\b|Thread|XLA)", re.I)
 
 
 def bucket(name: str) -> str:
@@ -46,6 +51,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--per_step", type=int, default=0,
+                    help="divide all times by this scan trip count")
     args = ap.parse_args()
 
     path = find_trace(args.trace_dir)
@@ -72,10 +79,18 @@ def main():
         if device_pids and e.get("pid") not in device_pids:
             continue
         name = e.get("name", "?")
+        if _CONTAINER.match(name):
+            continue
         dur = e["dur"] / 1e3  # ms
         per_op[name] += dur
         per_bucket[bucket(name)] += dur
         total += dur
+    if args.per_step:
+        per_op = collections.Counter(
+            {k: v / args.per_step for k, v in per_op.items()})
+        per_bucket = collections.Counter(
+            {k: v / args.per_step for k, v in per_bucket.items()})
+        total /= args.per_step
 
     print(f"trace: {path}")
     print(f"total device time: {total:.1f} ms")

@@ -48,7 +48,7 @@ def main():
         outfit_idx=jnp.zeros(F, jnp.int32),
         known_latents=jnp.zeros((1, 4, 64, 64, 4)),
         gen_mask=jnp.ones((1, 4), bool),
-        gen_index=jnp.arange(F, jnp.int32).reshape(1, 4),
+        gen_index=jnp.arange(F, dtype=jnp.int32).reshape(1, 4),
         hist_latents=jnp.zeros((F, 64, 64, 4)),
         cate_text=jnp.zeros((F, 77, cfg.unet.cross_attention_dim)),
         null_text=jnp.zeros((77, cfg.unet.cross_attention_dim)),
