@@ -66,7 +66,7 @@ def main(argv=None):
     p.add_argument("--category_guidance_scale", type=float, default=None)
     p.add_argument("--hist_guidance_scale", type=float, default=None)
     p.add_argument("--mutual_guidance_scale", type=float, default=None)
-    p.add_argument("--scheduler", choices=["pndm", "ddim"], default=None)
+    p.add_argument("--scheduler", choices=["pndm", "ddim", "dpmpp"], default=None)
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--no_ema", action="store_true")

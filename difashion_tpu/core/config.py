@@ -244,7 +244,7 @@ class GenerationConfig:
     hist_guidance_scale: float = 4.0
     mutual_guidance_scale: float = 5.0
     eta: float = 0.1
-    scheduler: str = "pndm"               # "pndm" | "ddim"
+    scheduler: str = "pndm"               # "pndm" | "ddim" | "dpmpp" (fast serving)
     ddim_eta: float = 0.0
     fitb_batch_size: int = 15             # inf4eval.py:521-524
     gor_batch_size: int = 4

@@ -11,8 +11,20 @@ from difashion_tpu.diffusion.pndm import (
     pndm_step,
 )
 from difashion_tpu.diffusion.ddim import DDIMPlan, ddim_step, make_ddim_plan
+from difashion_tpu.diffusion.dpmpp import (
+    DPMppPlan,
+    DPMppState,
+    dpmpp_init_state,
+    dpmpp_step,
+    make_dpmpp_plan,
+)
 
 __all__ = [
+    "DPMppPlan",
+    "DPMppState",
+    "dpmpp_init_state",
+    "dpmpp_step",
+    "make_dpmpp_plan",
     "DiffusionSchedule",
     "leading_timesteps",
     "make_betas",

@@ -1,0 +1,147 @@
+"""DPM-Solver++(2M) sampler as a host-precomputed plan + pure scan step.
+
+Beyond-reference serving feature: the reference pins PNDM at 50 steps
+(`/root/reference/DiFashion/models/difashion.py:356-357`); DPM-Solver++ (Lu et
+al. 2022, arXiv:2211.01095) reaches comparable sample quality in 15-25 steps on
+Stable-Diffusion-class models, which multiplies end-to-end generation
+throughput by ~2-2.5x at equal quality. Offered as an opt-in scheduler
+(`scheduler="dpmpp"` in the generation engine); default remains PNDM for
+reference parity.
+
+Same design as `pndm.py`/`ddim.py`: everything static (timesteps, log-SNR
+steps, multistep coefficients, final-step order demotion) is folded on the
+host into per-iteration plan rows; the on-device carry is just the previous
+x0-prediction, and the step body is pure arithmetic under `lax.scan`.
+
+Algorithm (data-prediction / "dpmsolver++" form, 2nd-order multistep):
+  lambda_t = log(alpha_t / sigma_t),  h_i = lambda_{i+1} - lambda_i
+  D_i = (1 + 1/(2 r_i)) x0_i - (1/(2 r_i)) x0_{i-1},  r_i = h_{i-1} / h_i
+  x_{i+1} = (sigma_{i+1}/sigma_i) x_i - alpha_{i+1} expm1(-h_i) D_i
+First iteration is first-order (no history yet: D_0 = x0_0). The terminal
+boundary uses (alpha, sigma) = (1, 0) — the "final sigma zero" convention —
+which makes the last interval's h infinite, so the final iteration is ALWAYS
+first-order and lands exactly on x0 (x_N = D = x0_{N-1}); a second-order
+final step would be ill-defined (r = h_{N-2}/h_{N-1} -> 0).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from difashion_tpu.diffusion.schedule import DiffusionSchedule, leading_timesteps
+
+
+@dataclass(frozen=True)
+class DPMppPlan:
+    """Host-precomputed per-iteration schedule; length n = num_inference_steps."""
+
+    t_unet: np.ndarray     # [n] int32, descending — timestep fed to the UNet
+    alpha_t: np.ndarray    # [n] f32  sqrt(alphas_cumprod[t])  (x0-conversion)
+    sigma_t: np.ndarray    # [n] f32  sqrt(1 - alphas_cumprod[t])
+    c_x: np.ndarray        # [n] f32  sigma_{i+1} / sigma_i
+    c_d: np.ndarray        # [n] f32  -alpha_{i+1} * expm1(-h_i)
+    d0: np.ndarray         # [n] f32  weight on x0_i       (1 + 1/(2r), or 1)
+    d1: np.ndarray         # [n] f32  weight on x0_{i-1}   (-1/(2r), or 0)
+    num_inference_steps: int
+    prediction_type: str
+    init_noise_sigma: float = 1.0
+
+    def __len__(self) -> int:
+        return int(self.t_unet.shape[0])
+
+    def rows(self):
+        return {
+            "t_unet": jnp.asarray(self.t_unet, jnp.int32),
+            "alpha_t": jnp.asarray(self.alpha_t),
+            "sigma_t": jnp.asarray(self.sigma_t),
+            "c_x": jnp.asarray(self.c_x),
+            "c_d": jnp.asarray(self.c_d),
+            "d0": jnp.asarray(self.d0),
+            "d1": jnp.asarray(self.d1),
+        }
+
+
+def make_dpmpp_plan(
+    sched: DiffusionSchedule,
+    num_inference_steps: int,
+    timestep_spacing: str = "linspace",
+) -> DPMppPlan:
+    """Build the 2M plan. `timestep_spacing`: "linspace" (the DPM-Solver++
+    convention) or "leading" (the PNDM/DDIM convention used elsewhere here)."""
+    T = sched.num_train_timesteps
+    n = num_inference_steps
+    if timestep_spacing == "linspace":
+        seq = np.linspace(0, T - 1, n).round()[::-1].astype(np.int64)
+    elif timestep_spacing == "leading":
+        seq = leading_timesteps(T, n, sched.steps_offset)[::-1].copy()
+    else:
+        raise ValueError(f"unknown timestep_spacing {timestep_spacing!r}")
+
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    # per-iteration (current) and boundary-extended (next) alpha/sigma ladders
+    a = np.sqrt(acp[seq])
+    s = np.sqrt(1.0 - acp[seq])
+    a_next = np.concatenate([a[1:], [1.0]])   # terminal boundary: alpha=1
+    s_next = np.concatenate([s[1:], [0.0]])   # terminal boundary: sigma=0
+
+    with np.errstate(divide="ignore"):
+        lam = np.log(a) - np.log(s)
+        lam_next = np.where(s_next > 0.0, np.log(a_next) - np.log(s_next), np.inf)
+    h = lam_next - lam                         # [n], last entry +inf
+
+    c_x = s_next / s
+    c_d = -a_next * np.expm1(-h)               # expm1(-inf) = -1 -> c_d = alpha
+
+    d0 = np.ones(n)
+    d1 = np.zeros(n)
+    for i in range(1, n - 1):                  # first and last step: first-order
+        r = h[i - 1] / h[i]
+        d0[i] = 1.0 + 1.0 / (2.0 * r)
+        d1[i] = -1.0 / (2.0 * r)
+
+    return DPMppPlan(
+        t_unet=seq.astype(np.int32),
+        alpha_t=a.astype(np.float32),
+        sigma_t=s.astype(np.float32),
+        c_x=c_x.astype(np.float32),
+        c_d=c_d.astype(np.float32),
+        d0=d0.astype(np.float32),
+        d1=d1.astype(np.float32),
+        num_inference_steps=n,
+        prediction_type=sched.prediction_type,
+    )
+
+
+class DPMppState(NamedTuple):
+    """Scan carry: the previous iteration's x0-prediction."""
+
+    prev_x0: jnp.ndarray     # [*sample_shape]
+
+
+def dpmpp_init_state(sample_shape, dtype=jnp.float32) -> DPMppState:
+    return DPMppState(prev_x0=jnp.zeros(tuple(sample_shape), dtype))
+
+
+def dpmpp_step(state: DPMppState, row: dict, model_output: jnp.ndarray,
+               sample: jnp.ndarray, prediction_type: str = "epsilon"):
+    """One DPM-Solver++(2M) update. `row` is one slice of `DPMppPlan.rows()`.
+
+    Returns (new_state, prev_sample)."""
+    a_t = row["alpha_t"].astype(sample.dtype)
+    s_t = row["sigma_t"].astype(sample.dtype)
+
+    if prediction_type == "epsilon":
+        x0 = (sample - s_t * model_output) / a_t
+    elif prediction_type == "v_prediction":
+        x0 = a_t * sample - s_t * model_output
+    else:
+        raise ValueError(f"unknown prediction type {prediction_type!r}")
+
+    # d1 is 0 on the (first-order) first iteration, so the uninitialized
+    # prev_x0 zeros never contribute.
+    d = row["d0"].astype(sample.dtype) * x0 + row["d1"].astype(sample.dtype) * state.prev_x0
+    prev_sample = row["c_x"].astype(sample.dtype) * sample + row["c_d"].astype(sample.dtype) * d
+    return DPMppState(prev_x0=x0), prev_sample

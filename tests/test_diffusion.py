@@ -14,8 +14,11 @@ from difashion_tpu.core.config import SchedulerConfig
 from difashion_tpu.diffusion import (
     DiffusionSchedule,
     ddim_step,
+    dpmpp_init_state,
+    dpmpp_step,
     leading_timesteps,
     make_ddim_plan,
+    make_dpmpp_plan,
     make_pndm_plan,
     pndm_init_state,
     pndm_step,
@@ -264,3 +267,183 @@ def test_pndm_ab_coefficients_sum_to_one(sched):
     plan = make_pndm_plan(sched, 10)
     total = plan.ets_coeffs.sum(axis=1) + plan.cm
     np.testing.assert_allclose(total, 1.0, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++(2M)
+# ---------------------------------------------------------------------------
+
+class StatefulDPMpp2M:
+    """Clean-room stateful transcription of DPM-Solver++(2M) (arXiv:2211.01095,
+    data-prediction multistep form) — the plan+carry implementation must match
+    this trajectory exactly."""
+
+    def __init__(self, sched: DiffusionSchedule, n: int):
+        T = sched.num_train_timesteps
+        self.timesteps = np.linspace(0, T - 1, n).round()[::-1].astype(np.int64)
+        acp = np.asarray(sched.alphas_cumprod, np.float64)
+        self.a = np.sqrt(acp)
+        self.s = np.sqrt(1.0 - acp)
+        self.n = n
+        self.i = 0
+        self.prev = None  # (lambda, x0) of the previous iteration
+
+    def step(self, eps, t, x):
+        a_t, s_t = self.a[t], self.s[t]
+        lam_t = np.log(a_t / s_t)
+        x0 = (x - s_t * eps) / a_t
+        if self.i + 1 < self.n:
+            tn = self.timesteps[self.i + 1]
+            a_n, s_n = self.a[tn], self.s[tn]
+            lam_n = np.log(a_n / s_n)
+        else:
+            a_n, s_n, lam_n = 1.0, 0.0, np.inf
+        h = lam_n - lam_t
+        # zero-terminal-sigma convention: last interval has h = inf, so the
+        # final step is always first-order (lands exactly on x0)
+        first = self.prev is None or self.i == self.n - 1
+        if first:
+            d = x0
+        else:
+            lam_p, x0_p = self.prev
+            r = (lam_t - lam_p) / h
+            d = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_p
+        x_next = (s_n / s_t) * x - a_n * np.expm1(-h) * d
+        self.prev = (lam_t, x0)
+        self.i += 1
+        return x_next
+
+
+@pytest.mark.parametrize("n_steps", [8, 20])
+def test_dpmpp_plan_matches_stateful_reference(sched, n_steps):
+    shape = (2, 4, 4, 4)
+    rng = np.random.RandomState(1)
+    x_ref = rng.randn(*shape).astype(np.float64)
+    x_scan = jnp.asarray(x_ref, jnp.float32)
+
+    ref = StatefulDPMpp2M(sched, n_steps)
+    plan = make_dpmpp_plan(sched, n_steps)
+    assert len(plan) == n_steps
+    np.testing.assert_array_equal(plan.t_unet, ref.timesteps)
+
+    state = dpmpp_init_state(shape)
+    rows = plan.rows()
+    for i in range(len(plan)):
+        t = int(plan.t_unet[i])
+        eps = _fake_model(np.asarray(x_scan, np.float64), t)
+        row = {k: v[i] for k, v in rows.items()}
+        state, x_scan = dpmpp_step(state, row, jnp.asarray(eps, jnp.float32), x_scan)
+
+        eps_ref = _fake_model(x_ref, t)
+        x_ref = ref.step(eps_ref, int(ref.timesteps[i]), x_ref)
+        np.testing.assert_allclose(np.asarray(x_scan), x_ref, rtol=3e-4, atol=3e-5)
+
+
+def test_dpmpp_second_order_beats_ddim_on_analytic_ode(sched):
+    """Probability-flow ODE with an analytic Gaussian score: x0 ~ N(mu, s0^2).
+
+    The marginal at t is N(a_t mu, a_t^2 s0^2 + s_t^2) and the PF-ODE transports
+    quantiles, so the exact trajectory through (x_s, t_s) is
+        x(t) = a_t mu + (x_s - a_s mu) * std_t / std_s,  std^2 = a^2 s0^2 + s^2.
+    Each solver is scored against the exact endpoint of ITS OWN start/terminal
+    convention (DDIM: leading spacing, final-alpha boundary; DPM++: linspace,
+    zero-sigma terminal). At 16 steps the 2nd-order DPM++ must land far closer."""
+    mu, s0 = 0.7, 0.4
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+
+    def a_s_at(t):
+        return np.sqrt(acp[t]), np.sqrt(1.0 - acp[t])
+
+    def std(a, s):
+        return np.sqrt(a * a * s0 ** 2 + s * s)
+
+    def exact_endpoint(x_s, t_start, a_end, s_end):
+        a_st, s_st = a_s_at(t_start)
+        return a_end * mu + (x_s - a_st * mu) * std(a_end, s_end) / std(a_st, s_st)
+
+    def true_eps(x, t):
+        a_t, s_t = a_s_at(t)
+        x0_hat = (a_t * s0 ** 2 * x + s_t ** 2 * mu) / (a_t ** 2 * s0 ** 2 + s_t ** 2)
+        return (x - a_t * x0_hat) / s_t
+
+    x_init = np.array([1.3, -0.2, 0.5, 2.0])
+
+    def run_ddim(n):
+        plan = make_ddim_plan(sched, n)
+        rows = plan.rows()
+        x = jnp.asarray(x_init)
+        for i in range(len(plan)):
+            row = {k: v[i] for k, v in rows.items()}
+            eps = jnp.asarray(true_eps(np.asarray(x, np.float64), int(plan.t_unet[i])))
+            x = ddim_step(row, eps, x)
+        a_end = np.sqrt(plan.alpha_prev[-1])
+        return np.asarray(x, np.float64), int(plan.t_unet[0]), a_end, np.sqrt(1 - a_end ** 2)
+
+    def run_dpmpp(n):
+        plan = make_dpmpp_plan(sched, n)
+        rows = plan.rows()
+        x = jnp.asarray(x_init)
+        state = dpmpp_init_state(x.shape)
+        for i in range(len(plan)):
+            row = {k: v[i] for k, v in rows.items()}
+            eps = jnp.asarray(true_eps(np.asarray(x, np.float64), int(plan.t_unet[i])))
+            state, x = dpmpp_step(state, row, eps, x)
+        return np.asarray(x, np.float64), int(plan.t_unet[0]), 1.0, 0.0
+
+    def err_ddim(n):
+        x, t0, ae, se = run_ddim(n)
+        return np.abs(x - exact_endpoint(x_init, t0, ae, se)).max()
+
+    def err_dpmpp(n):
+        x, t0, ae, se = run_dpmpp(n)
+        return np.abs(x - exact_endpoint(x_init, t0, ae, se)).max()
+
+    # Convergence ORDER: quadrupling steps must cut the 2nd-order solver's
+    # error ~16x (measured 4^1.93 on this problem) vs ~4x for 1st-order DDIM.
+    ratio_dpmpp = err_dpmpp(64) / err_dpmpp(256)
+    ratio_ddim = err_ddim(64) / err_ddim(256)
+    assert ratio_dpmpp > 10.0, ratio_dpmpp
+    assert 2.5 < ratio_ddim < 7.0, ratio_ddim
+    assert err_dpmpp(256) < 0.005
+
+
+def test_dpmpp_v_prediction_matches_epsilon_run(sched):
+    """Feeding the v-parameterization of the same model must reproduce the
+    epsilon-run trajectory exactly (x0-conversion consistency)."""
+    shape = (3, 5)
+    rng = np.random.RandomState(2)
+    x_eps = jnp.asarray(rng.randn(*shape), jnp.float32)
+    x_v = x_eps
+    plan = make_dpmpp_plan(sched, 10)
+    rows = plan.rows()
+    st_e = dpmpp_init_state(shape)
+    st_v = dpmpp_init_state(shape)
+    for i in range(len(plan)):
+        row = {k: v[i] for k, v in rows.items()}
+        t = int(plan.t_unet[i])
+        eps = jnp.asarray(_fake_model(np.asarray(x_eps), t), jnp.float32)
+        a_t, s_t = row["alpha_t"], row["sigma_t"]
+        x0 = (x_eps - s_t * eps) / a_t
+        v = a_t * eps - s_t * x0
+        st_e, x_eps = dpmpp_step(st_e, row, eps, x_eps)
+        st_v, x_v = dpmpp_step(st_v, row, v, x_v, prediction_type="v_prediction")
+        np.testing.assert_allclose(np.asarray(x_v), np.asarray(x_eps),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_dpmpp_perfect_model_recovers_x0(sched):
+    """With the exact epsilon field of a point-mass x0, any correct solver ends
+    at x0 exactly (terminal boundary sigma=0, coefficient rows sum correctly)."""
+    x0_true = np.array([0.3, -1.0, 0.8])
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    plan = make_dpmpp_plan(sched, 12)
+    rows = plan.rows()
+    x = jnp.asarray([2.0, 0.5, -0.7], jnp.float32)
+    state = dpmpp_init_state(x.shape)
+    for i in range(len(plan)):
+        row = {k: v[i] for k, v in rows.items()}
+        t = int(plan.t_unet[i])
+        a_t, s_t = np.sqrt(acp[t]), np.sqrt(1.0 - acp[t])
+        eps = (np.asarray(x, np.float64) - a_t * x0_true) / s_t
+        state, x = dpmpp_step(state, row, jnp.asarray(eps, jnp.float32), x)
+    np.testing.assert_allclose(np.asarray(x), x0_true, rtol=1e-4, atol=1e-4)

@@ -158,7 +158,7 @@ def _gen_inputs(cfg, model, params, key, B=2, mode="fitb"):
     ), F
 
 
-@pytest.mark.parametrize("scheduler", ["pndm", "ddim"])
+@pytest.mark.parametrize("scheduler", ["pndm", "ddim", "dpmpp"])
 @pytest.mark.parametrize("mode", ["fitb", "gor"])
 def test_sampler_runs(tiny_model, scheduler, mode):
     cfg, model, params = tiny_model

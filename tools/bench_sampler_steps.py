@@ -31,7 +31,7 @@ def sync(x):
     return float(jnp.asarray(x).reshape(-1)[0])
 
 
-def build(n_steps, model, params, text_params, B=1):
+def build(n_steps, model, params, text_params, B=1, scheduler="pndm"):
     from difashion_tpu.engine import (
         GenerationInputs, build_sampler, make_guidance_spec,
     )
@@ -52,7 +52,8 @@ def build(n_steps, model, params, text_params, B=1):
     )
     spec = make_guidance_spec(12.0, 4.0, 5.0)
     sampler = jax.jit(build_sampler(
-        model, num_inference_steps=n_steps, spec=spec, eta=0.1
+        model, num_inference_steps=n_steps, spec=spec, eta=0.1,
+        scheduler=scheduler,
     ))
     return sampler, inputs
 
@@ -80,6 +81,8 @@ def main():
     p.add_argument("--bf16_params", action="store_true",
                    help="pre-cast all params to bf16 (serving mode) instead of "
                         "casting fp32 masters inside the step")
+    p.add_argument("--scheduler", default="pndm",
+                   choices=["pndm", "ddim", "dpmpp"])
     p.add_argument("--label", default="")
     args = p.parse_args()
 
@@ -96,17 +99,23 @@ def main():
             params,
         )
 
-    s1, inputs = build(args.n1, model, params, None, B=args.outfits)
-    s2, _ = build(args.n2, model, params, None, B=args.outfits)
+    s1, inputs = build(args.n1, model, params, None, B=args.outfits,
+                       scheduler=args.scheduler)
+    s2, _ = build(args.n2, model, params, None, B=args.outfits,
+                  scheduler=args.scheduler)
     t1 = timed(s1, params, inputs, iters=args.iters)
     t2 = timed(s2, params, inputs, iters=args.iters)
     per_step = (t2 - t1) / (args.n2 - args.n1)
     F = args.outfits * 4
     # extrapolate the 51-iteration north-star sampler (fixed overhead = t1 - n1*step)
-    fixed = t1 - (args.n1 + 1) * per_step
+    # PNDM runs n+1 scan iterations (corrector re-run); DDIM/DPM++ run n
+    iters_of = (lambda n: n + 1) if args.scheduler == "pndm" else (lambda n: n)
+    fixed = t1 - iters_of(args.n1) * per_step
     t51 = fixed + 51 * per_step
     print(json.dumps({
         "label": args.label,
+        "scheduler": args.scheduler,
+        "serving_20step_img_per_sec": round(F / (fixed + iters_of(20) * per_step), 4),
         "per_step_ms": round(per_step * 1e3, 2),
         "t_n1_ms": round(t1 * 1e3, 1),
         "t_n2_ms": round(t2 * 1e3, 1),
