@@ -127,14 +127,18 @@ def main():
     float(imgs[0, 0, 0, 0])  # host-transfer sync (remote backend's
     # block_until_ready can resolve before execution completes)
 
-    n_iters = 3
-    t0 = time.perf_counter()
+    # best-of-N: the shared-tunnel chip's throughput varies a few percent
+    # run-to-run; the minimum is the stable estimator of the machine's capability
+    n_iters = 6
+    times = []
     for _ in range(n_iters):
-        # chain iterations through the input so they can't overlap, then sync
-        # on a transferred value
+        t0 = time.perf_counter()
+        # sync on a transferred value (remote backend's block_until_ready can
+        # resolve before execution completes)
         imgs = jitted(params, inputs)
         float(imgs[0, 0, 0, 0])
-    dt = (time.perf_counter() - t0) / n_iters
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     n_chips = jax.device_count()
     images_per_sec_per_chip = F / dt / n_chips

@@ -27,6 +27,25 @@ import jax
 import numpy as np
 
 
+def apply_generation_overrides(cfg, scheduler=None, num_inference_steps=None):
+    """Return cfg with generation fields overridden (None = keep).
+
+    `--scheduler dpmpp --num_inference_steps 20` is the fast-serving recipe:
+    ~2.5x generation throughput at comparable quality (BASELINE.md)."""
+    import dataclasses
+
+    overrides = {}
+    if scheduler is not None:
+        overrides["scheduler"] = scheduler
+    if num_inference_steps is not None:
+        overrides["num_inference_steps"] = num_inference_steps
+    if not overrides:
+        return cfg
+    return dataclasses.replace(
+        cfg, generation=dataclasses.replace(cfg.generation, **overrides)
+    )
+
+
 class GenerationService:
     """Warm-model request handler shared by the HTTP layer and tests."""
 
@@ -107,6 +126,11 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--config", default=None)
+    p.add_argument("--scheduler", choices=["pndm", "ddim", "dpmpp"], default=None,
+                   help="override the config's scheduler; dpmpp at ~20 steps is "
+                        "the fast-serving mode (~2.5x throughput, comparable "
+                        "quality)")
+    p.add_argument("--num_inference_steps", type=int, default=None)
     args = p.parse_args(argv)
 
     from difashion_tpu.cli.generate import load_model_for_inference
@@ -120,6 +144,8 @@ def main(argv=None):
     log = setup_logging()
     cfg = (Config.from_json(open(args.config).read()) if args.config
            else (Config.preset_tiny() if args.tiny else Config.preset_eta01()))
+    cfg = apply_generation_overrides(cfg, scheduler=args.scheduler,
+                                     num_inference_steps=args.num_inference_steps)
     model, params, step = load_model_for_inference(cfg, args.ckpt_dir)
     data = FashionData.load(args.data_path)
     proc = load_processed(args.data_path, "all_item_moments")

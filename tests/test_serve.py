@@ -96,3 +96,18 @@ def test_http_roundtrip(service):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_apply_generation_overrides():
+    from difashion_tpu.cli.serve import apply_generation_overrides
+    from difashion_tpu.core.config import Config
+
+    cfg = Config.preset_tiny()
+    assert apply_generation_overrides(cfg) is cfg
+    out = apply_generation_overrides(cfg, scheduler="dpmpp",
+                                     num_inference_steps=20)
+    assert out.generation.scheduler == "dpmpp"
+    assert out.generation.num_inference_steps == 20
+    # untouched fields survive
+    assert out.generation.category_guidance_scale == cfg.generation.category_guidance_scale
+    assert cfg.generation.scheduler == "pndm"  # original frozen config unchanged

@@ -36,8 +36,9 @@ _BUCKETS = [
 ]
 
 # container/wrapper entries whose children are counted separately — summing
-# them double-counts the whole scan
-_CONTAINER = re.compile(r"^(jit_|while|body|cond|region|run\b|Thread|XLA)", re.I)
+# them double-counts the whole scan. Purely-numeric names are the unjitted-step
+# module containers the train trace emits (one ~whole-step event per step).
+_CONTAINER = re.compile(r"^(jit_|while|body|cond|region|run\b|Thread|XLA|\d+$)", re.I)
 
 
 def bucket(name: str) -> str:
