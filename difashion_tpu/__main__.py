@@ -16,6 +16,11 @@ def main():
         print(__doc__)
         return 0
     cmd, argv = sys.argv[1], sys.argv[2:]
+    # persistent executable cache: the 50-step sampler / train step compile in
+    # tens of minutes on TPU; restarts reload them in seconds
+    from difashion_tpu.core.logging import enable_compile_cache
+
+    enable_compile_cache()
     if cmd == "train":
         from difashion_tpu.cli.train import main as run
     elif cmd == "generate":

@@ -109,3 +109,25 @@ def profile_trace(log_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compile_cache(cache_dir: Optional[str] = None) -> str:
+    """Enable JAX's persistent compilation cache for all CLI entry points.
+
+    The full 50-step sampler / train-step executables take tens of minutes to
+    compile on TPU; with the cache a process restart (new serving replica,
+    resumed training, re-run evaluation) reloads them in seconds. Not a
+    reference feature (torch has no AOT executable to cache) — a TPU-production
+    necessity. Override the location with $DIFASHION_CACHE_DIR; defaults to
+    ~/.cache/difashion_tpu/jax.
+    """
+    import jax
+
+    cache_dir = (cache_dir
+                 or os.environ.get("DIFASHION_CACHE_DIR")
+                 or os.path.join(os.path.expanduser("~"), ".cache",
+                                 "difashion_tpu", "jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    return cache_dir

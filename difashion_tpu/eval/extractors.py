@@ -72,6 +72,14 @@ class Extractors:
     batch_size: int = 32
     clip_size: int = 224
     random_towers: tuple = ()        # backbones left at random init (no weights found)
+    # Preprocessing resolutions. Quality evaluation uses the reference values
+    # (299 for both Inceptions, LPIPS at native resolution). tiny mode shrinks
+    # them (75 / 64): the Inception and VGG towers have no reduced-architecture
+    # variant, and full-res VGG16 over 512^2 batches costs ~56 s + ~8 GB of XLA
+    # conv workspace per 16-image chunk on a 1-vCPU box — useless for plumbing
+    # and streaming tests, which assert driver behavior, not metric values.
+    fid_size: int = 299
+    lpips_size: Optional[int] = None  # None = native resolution
 
     # ---- convenience wrappers (host numpy in/out, batched) -------------------
 
@@ -85,14 +93,17 @@ class Extractors:
         return _batched(self.clip_text_fn, self.batch_size)(np.asarray(ids))
 
     def fid_features(self, images01: np.ndarray) -> np.ndarray:
-        x = _resize_299(images01) * 2.0 - 1.0
+        x = _resize_bilinear(images01, self.fid_size) * 2.0 - 1.0
         return _batched(self.fid_features_fn, self.batch_size)(x)
 
     def inception_probs(self, images01: np.ndarray) -> np.ndarray:
-        x = _resize_299(images01) * 2.0 - 1.0
+        x = _resize_bilinear(images01, self.fid_size) * 2.0 - 1.0
         return _batched(self.inception_probs_fn, self.batch_size)(x)
 
     def lpips(self, imgs0_01: np.ndarray, imgs1_01: np.ndarray) -> np.ndarray:
+        if self.lpips_size and imgs0_01.shape[1] != self.lpips_size:
+            imgs0_01 = _resize_bilinear(imgs0_01, self.lpips_size)
+            imgs1_01 = _resize_bilinear(imgs1_01, self.lpips_size)
         a = imgs0_01 * 2.0 - 1.0
         b = imgs1_01 * 2.0 - 1.0
         out = []
@@ -109,12 +120,14 @@ class Extractors:
         return 1.0 / (1.0 + np.exp(-logits))
 
 
-def _resize_299(images01: np.ndarray) -> np.ndarray:
-    """Bilinear resize to 299x299, align_corners=False semantics
-    (`eval_utils.py:263-267`)."""
+def _resize_bilinear(images01: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear resize to size x size, align_corners=False semantics
+    (`eval_utils.py:263-267`; quality path uses size=299)."""
     x = jnp.asarray(images01, jnp.float32)
     n = x.shape[0]
-    out = jax.image.resize(x, (n, 299, 299, 3), method="bilinear")
+    if x.shape[1] == size and x.shape[2] == size:
+        return np.asarray(x)
+    out = jax.image.resize(x, (n, size, size, 3), method="bilinear")
     return np.asarray(out)
 
 
@@ -226,4 +239,6 @@ def build_extractors(
         ),
         batch_size=batch_size,
         clip_size=vcfg.image_size,
+        fid_size=75 if tiny else 299,
+        lpips_size=64 if tiny else None,
     )

@@ -260,3 +260,17 @@ def test_metric_logger_writes_tb_scalars(tmp_path):
     assert [e["step"] for e in evs] == [0, 1]
     assert abs(evs[1]["scalars"]["loss"] - 1.25) < 1e-7
     assert "note" not in evs[0]["scalars"]
+
+
+def test_enable_compile_cache(tmp_path):
+    from difashion_tpu.core.logging import enable_compile_cache
+
+    d = str(tmp_path / "jaxcache")
+    got = enable_compile_cache(d)
+    assert got == d
+    import os as _os
+
+    assert _os.path.isdir(d)
+    import jax as _jax
+
+    assert _jax.config.jax_compilation_cache_dir == d

@@ -147,16 +147,24 @@ _MEM_SCRIPT = textwrap.dedent("""
 
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
     print(f"PEAK_RSS_MB={{peak_mb:.0f}}")
-    # unstreamed, gen+grd fp32 stacks alone would be
-    # 2 * N * 512*512*3*4B = {unstreamed_gb:.1f} GB
-    assert peak_mb < 2048, f"peak RSS {{peak_mb:.0f}} MB exceeds the 2 GB bound"
+    # Bound rationale: imports + lazy XLA compiles alone peak ~2.2 GB on this
+    # box (measured); an UNSTREAMED driver's gen+grd fp32 stacks would add
+    # {unstreamed_gb:.1f} GB on top, so 3 GB cleanly separates streaming from
+    # materialize-everything behavior.
+    assert peak_mb < 3072, f"peak RSS {{peak_mb:.0f}} MB exceeds the 3 GB bound"
     print("MEM_OK")
 """)
 
 
 @pytest.mark.slow
 def test_fitb_driver_streams_with_bounded_memory(tmp_path):
-    n_images = 2000
+    # N=800 keeps the bound meaningful (an unstreamed driver's gen+grd fp32
+    # stacks alone would be 5.0 GB on top of the ~2.2 GB import+compile
+    # baseline, vs the asserted <3 GB). With the tiny-mode backbone resolutions
+    # the whole cascade runs in ~3 min; at full-resolution towers the LPIPS leg
+    # alone cost ~56 s + ~8 GB XLA conv workspace per 16-image chunk and the
+    # subprocess timed out whenever anything competed for the CPU.
+    n_images = 800
     script = _MEM_SCRIPT.format(
         repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         tmp=str(tmp_path),
@@ -164,6 +172,6 @@ def test_fitb_driver_streams_with_bounded_memory(tmp_path):
         unstreamed_gb=2 * n_images * 512 * 512 * 3 * 4 / 1e9,
     )
     r = subprocess.run([sys.executable, "-c", script], capture_output=True,
-                       text=True, timeout=3000)
+                       text=True, timeout=5400)
     assert r.returncode == 0, r.stderr[-4000:]
     assert "MEM_OK" in r.stdout, r.stdout
