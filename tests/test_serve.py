@@ -111,3 +111,27 @@ def test_apply_generation_overrides():
     # untouched fields survive
     assert out.generation.category_guidance_scale == cfg.generation.category_guidance_scale
     assert cfg.generation.scheduler == "pndm"  # original frozen config unchanged
+
+
+def test_service_generate_dpmpp_fast_mode():
+    """The fast-serving recipe (dpmpp scheduler) end to end through the service."""
+    import dataclasses
+
+    from difashion_tpu.cli.serve import apply_generation_overrides
+
+    cfg = apply_generation_overrides(
+        Config.preset_tiny(), scheduler="dpmpp", num_inference_steps=3
+    )
+    model, params = create_difashion(cfg.model, jax.random.PRNGKey(0))
+    h = cfg.model.unet.sample_size
+    C = cfg.model.vae.latent_channels
+    lat = np.random.RandomState(0).randn(20, h, h, C).astype(np.float32) * 0.2
+    pipe = GenerationPipeline(
+        model, params, cfg, {c: f"cate{c}" for c in range(1, 6)},
+        HashTokenizer(vocab_size=cfg.model.text.vocab_size),
+        HistLatentStore.from_catalog({}, lat), item_latents=lat,
+    )
+    out = GenerationService(pipe, max_batch=4).generate(_req(2))
+    assert len(out["images"]) == 2
+    for imgs in out["images"].values():
+        assert base64.b64decode(imgs[0])[:2] == b"\xff\xd8"
