@@ -171,7 +171,11 @@ def test_fitb_driver_streams_with_bounded_memory(tmp_path):
         n_images=n_images,
         unstreamed_gb=2 * n_images * 512 * 512 * 3 * 4 / 1e9,
     )
+    # scrub the suite's 8-virtual-device XLA_FLAGS: 8 host-platform devices
+    # inflate the subprocess's allocator/compile baseline past the RSS bound,
+    # and the streaming property under test is device-count-independent
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     r = subprocess.run([sys.executable, "-c", script], capture_output=True,
-                       text=True, timeout=5400)
+                       text=True, timeout=5400, env=env)
     assert r.returncode == 0, r.stderr[-4000:]
     assert "MEM_OK" in r.stdout, r.stdout

@@ -297,11 +297,11 @@ def test_basic_transformer_block_layernorm_eps():
 def test_fid_resize_matches_torch_bilinear():
     """FID preprocessing uses bilinear align_corners=False at 299x299
     (`eval_utils.py:263-267`); jax.image.resize 'bilinear' must match torch."""
-    from difashion_tpu.eval.extractors import _resize_299
+    from difashion_tpu.eval.extractors import _resize_bilinear
 
     rng = np.random.RandomState(10)
     x = rng.rand(2, 64, 48, 3).astype(np.float32)
-    ours = _resize_299(x)
+    ours = _resize_bilinear(x, 299)
     ref = torch.nn.functional.interpolate(
         _nchw(x), size=(299, 299), mode="bilinear", align_corners=False
     )
