@@ -142,28 +142,44 @@ _MEM_SCRIPT = textwrap.dedent("""
         item_image_loader=lambda iid: item_img,
         img_size=SIZE,
     )
+
+    # Warmup pass over a 32-image manifest: triggers every lazy XLA compile so
+    # the baseline high-water mark below includes the (context-dependent,
+    # 2-3.5 GB) compile workspace. The streaming assertion is then a DELTA:
+    # the N-image run must not raise peak RSS by more than a small margin,
+    # while an UNSTREAMED driver's gen+grd fp32 stacks would add
+    # {unstreamed_gb:.1f} GB on top of any baseline.
+    warm_man = {{u: man[u] for u in list(man)[:32]}}
+    warm = os.path.join(tmp, "FITB-warm")
+    np.save(warm + ".npy", np.array(warm_man, dtype=object))
+    np.save(sink_path, np.array(
+        {{os.path.basename(run): dict(done), os.path.basename(warm): dict(done)}},
+        dtype=object))
+    evaluate_fitb(warm, ctx, grd, out_path=sink_path)
+    base_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
     res = evaluate_fitb(run, ctx, grd, out_path=sink_path)
     assert "fid" in res and "lpips" in res and np.isfinite(res["fid"])
 
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
-    print(f"PEAK_RSS_MB={{peak_mb:.0f}}")
-    # Bound rationale: imports + lazy XLA compiles alone peak ~2.2 GB on this
-    # box (measured); an UNSTREAMED driver's gen+grd fp32 stacks would add
-    # {unstreamed_gb:.1f} GB on top, so 3 GB cleanly separates streaming from
-    # materialize-everything behavior.
-    assert peak_mb < 3072, f"peak RSS {{peak_mb:.0f}} MB exceeds the 3 GB bound"
+    print(f"BASE_RSS_MB={{base_mb:.0f}} PEAK_RSS_MB={{peak_mb:.0f}}")
+    delta = peak_mb - base_mb
+    assert delta < 700, (
+        f"full run raised peak RSS by {{delta:.0f}} MB over the warmed baseline "
+        f"({{base_mb:.0f}} -> {{peak_mb:.0f}}) — streaming should be ~flat"
+    )
     print("MEM_OK")
 """)
 
 
 @pytest.mark.slow
 def test_fitb_driver_streams_with_bounded_memory(tmp_path):
-    # N=800 keeps the bound meaningful (an unstreamed driver's gen+grd fp32
-    # stacks alone would be 5.0 GB on top of the ~2.2 GB import+compile
-    # baseline, vs the asserted <3 GB). With the tiny-mode backbone resolutions
-    # the whole cascade runs in ~3 min; at full-resolution towers the LPIPS leg
-    # alone cost ~56 s + ~8 GB XLA conv workspace per 16-image chunk and the
-    # subprocess timed out whenever anything competed for the CPU.
+    # N=800 keeps the delta bound meaningful: an unstreamed driver's gen+grd
+    # fp32 stacks alone would raise peak RSS by 5.0 GB over the warmed
+    # baseline, vs the asserted <700 MB. With the tiny-mode backbone
+    # resolutions the whole cascade runs in ~4 min; at full-resolution towers
+    # the LPIPS leg alone cost ~56 s + ~8 GB XLA conv workspace per 16-image
+    # chunk and the subprocess timed out whenever anything competed for the CPU.
     n_images = 800
     script = _MEM_SCRIPT.format(
         repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
