@@ -191,7 +191,21 @@ class GenerationPipeline:
         ).copy()
 
         cate_text = self.cate_emb[[self.cid_row[int(c)] for c in fill_cate]]
-        init = np.asarray(jax.random.normal(rng, (F, h, h, C), jnp.float32))
+        # Per-(uid, oid, slot) noise keys: generation is then invariant to batch
+        # grouping — batch_size/max_batches/sharding become pure performance
+        # knobs that cannot change the images. (The reference draws from one
+        # sequential torch generator, so its outputs shift with batching;
+        # ours folds the identity of each fill into the seed instead.)
+        fill_slots = np.array([j for _, j in fills], np.uint32)
+        keys = jax.vmap(
+            lambda u, o, s: jax.random.fold_in(
+                jax.random.fold_in(jax.random.fold_in(rng, u), o), s
+            )
+        )(jnp.asarray(fill_uids, jnp.uint32), jnp.asarray(fill_oids, jnp.uint32),
+          jnp.asarray(fill_slots))
+        init = np.asarray(jax.vmap(
+            lambda k: jax.random.normal(k, (h, h, C), jnp.float32)
+        )(keys))
 
         valid = np.ones(F, bool)
         if pad_to is not None and F < pad_to:
@@ -265,9 +279,10 @@ class GenerationPipeline:
                 "uids": table.uids[sl], "oids": table.oids[sl],
                 "outfits": table.outfits[sl], "category": table.category[sl],
             }
-            key, sub = jax.random.split(key)
+            # one shared base key: prepare_batch folds each fill's
+            # (uid, oid, slot) into it, so batch grouping can't shift the noise
             prep = self.prepare_batch(
-                batch, task, sub, pad_to=pad_to, pad_outfits=batch_size
+                batch, task, key, pad_to=pad_to, pad_outfits=batch_size
             )
             imgs = self.generate_batch(prep)
             self._save_batch(prep, imgs, run_dir, task, outputs, grds, grd_dict)
