@@ -211,8 +211,10 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(h)
-        # 512px inputs give a 4096-token single-head attention here; the flash
-        # kernel auto-engages on TPU (d=512 is 4 lanes wide, still MXU-friendly)
+        # 512px inputs give a 4096-token single-head attention here with d=512;
+        # sdpa routes that to the XLA path (the flash kernel's d<=128 gate:
+        # whole-KV residency at d=512 overflows Mosaic's scoped VMEM, and this
+        # runs once per decode, not per denoise step)
         out = sdpa(q[:, None], k[:, None], v[:, None])[:, 0]
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return out.reshape(b, hgt, wid, c) + residual
