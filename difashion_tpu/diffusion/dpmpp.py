@@ -73,12 +73,21 @@ def make_dpmpp_plan(
     convention) or "leading" (the PNDM/DDIM convention used elsewhere here)."""
     T = sched.num_train_timesteps
     n = num_inference_steps
+    if n > T:
+        # n > T makes the rounded grid repeat timesteps -> h == 0 -> inf/NaN
+        # coefficients; refuse loudly (the CLIs pass --num_inference_steps through)
+        raise ValueError(
+            f"num_inference_steps ({n}) must be <= num_train_timesteps ({T})"
+        )
+    if n < 2:
+        raise ValueError("dpmpp needs num_inference_steps >= 2")
     if timestep_spacing == "linspace":
         seq = np.linspace(0, T - 1, n).round()[::-1].astype(np.int64)
     elif timestep_spacing == "leading":
         seq = leading_timesteps(T, n, sched.steps_offset)[::-1].copy()
     else:
         raise ValueError(f"unknown timestep_spacing {timestep_spacing!r}")
+    assert np.all(np.diff(seq) < 0), "dpmpp timestep grid must be strictly decreasing"
 
     acp = np.asarray(sched.alphas_cumprod, np.float64)
     # per-iteration (current) and boundary-extended (next) alpha/sigma ladders

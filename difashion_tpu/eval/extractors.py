@@ -101,7 +101,9 @@ class Extractors:
         return _batched(self.inception_probs_fn, self.batch_size)(x)
 
     def lpips(self, imgs0_01: np.ndarray, imgs1_01: np.ndarray) -> np.ndarray:
-        if self.lpips_size and imgs0_01.shape[1] != self.lpips_size:
+        if self.lpips_size:
+            # each input resized on its own shape (_resize_bilinear no-ops when it
+            # already matches) so mixed-resolution pairs can't skip one leg
             imgs0_01 = _resize_bilinear(imgs0_01, self.lpips_size)
             imgs1_01 = _resize_bilinear(imgs1_01, self.lpips_size)
         a = imgs0_01 * 2.0 - 1.0

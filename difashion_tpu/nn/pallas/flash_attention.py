@@ -88,7 +88,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv, kv_len,
     # keep the static estimate comfortably inside it or fall back to the rolled
     # loop.
     iter_bytes = block_q * block_kv * 6 + block_q * d * 4
-    kv_bytes = 2 * kv_padded * d * 2
+    kv_bytes = 2 * kv_padded * d * jnp.dtype(k_ref.dtype).itemsize
     if num_kv <= 16 and kv_bytes + num_kv * iter_bytes <= 48 * 1024 * 1024:
         carry = (acc0, m0, l0)
         for i in range(num_kv):
