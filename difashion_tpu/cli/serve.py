@@ -118,6 +118,46 @@ def make_handler(service: GenerationService):
     return Handler
 
 
+def build_service(args) -> "GenerationService":
+    """Construct the warm-model service from parsed CLI args (split from main so the
+    policy surface — tokenizer refusal, config overrides — is testable without
+    binding a port)."""
+    from difashion_tpu.cli.generate import load_model_for_inference
+    from difashion_tpu.core.config import Config
+    from difashion_tpu.data.datasets import FashionData, HistLatentStore
+    from difashion_tpu.data.precompute import load_processed
+    from difashion_tpu.data.tokenizer import load_tokenizer
+    from difashion_tpu.engine.pipeline import GenerationPipeline
+
+    cfg = (Config.from_json(open(args.config).read()) if args.config
+           else (Config.preset_tiny() if args.tiny else Config.preset_eta01()))
+    cfg = apply_generation_overrides(cfg, scheduler=args.scheduler,
+                                     num_inference_steps=args.num_inference_steps)
+    # same refusal policy as generate/evaluate (`cli/generate.py:109-110`): serving
+    # real weights with the hash-tokenizer fallback would silently produce garbage
+    # conditioning, so strict mode refuses unless explicitly overridden
+    tokenizer = load_tokenizer(args.tokenizer_dir, cfg.model.text.vocab_size,
+                               strict=not args.allow_random_weights)
+    model, params, step = load_model_for_inference(cfg, args.ckpt_dir)
+    data = FashionData.load(args.data_path)
+    proc = load_processed(args.data_path, "all_item_moments")
+    item_latents = (proc["mean"] * cfg.model.vae.scaling_factor
+                    if proc else None)
+    hist_store = HistLatentStore.from_catalog(
+        data.history.get("test", {}),
+        item_latents if item_latents is not None else np.zeros(
+            (1, cfg.model.unet.sample_size, cfg.model.unet.sample_size,
+             cfg.model.vae.latent_channels), np.float32),
+    )
+    pipe = GenerationPipeline(
+        model, params, cfg, data.id_cate_dict, tokenizer, hist_store,
+        item_latents=item_latents,
+    )
+    service = GenerationService(pipe, max_batch=args.max_batch)
+    service.checkpoint_step = step
+    return service
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="DiFashion-TPU generation service")
     p.add_argument("--data_path", required=True)
@@ -131,39 +171,18 @@ def main(argv=None):
                         "the fast-serving mode (~2.5x throughput, comparable "
                         "quality)")
     p.add_argument("--num_inference_steps", type=int, default=None)
+    p.add_argument("--tokenizer_dir", default=None,
+                   help="CLIP tokenizer asset dir (vocab.json + merges.txt)")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="permit the hash-tokenizer fallback (outputs will be "
+                        "meaningless; tests/throughput only)")
     args = p.parse_args(argv)
 
-    from difashion_tpu.cli.generate import load_model_for_inference
-    from difashion_tpu.core.config import Config
     from difashion_tpu.core.logging import setup_logging
-    from difashion_tpu.data.datasets import FashionData, HistLatentStore
-    from difashion_tpu.data.precompute import load_processed
-    from difashion_tpu.data.tokenizer import load_tokenizer
-    from difashion_tpu.engine.pipeline import GenerationPipeline
 
     log = setup_logging()
-    cfg = (Config.from_json(open(args.config).read()) if args.config
-           else (Config.preset_tiny() if args.tiny else Config.preset_eta01()))
-    cfg = apply_generation_overrides(cfg, scheduler=args.scheduler,
-                                     num_inference_steps=args.num_inference_steps)
-    model, params, step = load_model_for_inference(cfg, args.ckpt_dir)
-    data = FashionData.load(args.data_path)
-    proc = load_processed(args.data_path, "all_item_moments")
-    item_latents = (proc["mean"] * cfg.model.vae.scaling_factor
-                    if proc else None)
-    hist_store = HistLatentStore.from_catalog(
-        data.history.get("test", {}),
-        item_latents if item_latents is not None else np.zeros(
-            (1, cfg.model.unet.sample_size, cfg.model.unet.sample_size,
-             cfg.model.vae.latent_channels), np.float32),
-    )
-    pipe = GenerationPipeline(
-        model, params, cfg, data.id_cate_dict,
-        load_tokenizer(None, cfg.model.text.vocab_size), hist_store,
-        item_latents=item_latents,
-    )
-    service = GenerationService(pipe, max_batch=args.max_batch)
-    log.info("serving checkpoint-%d on :%d", step, args.port)
+    service = build_service(args)
+    log.info("serving checkpoint-%d on :%d", service.checkpoint_step, args.port)
     ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service)).serve_forever()
 
 

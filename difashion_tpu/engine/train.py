@@ -120,8 +120,16 @@ def difashion_loss(
     null_text: jnp.ndarray,       # [77, D] encoded empty prompt
     rng: jax.Array,
     cfg: TrainConfig,
+    injected: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """The DiFashion training loss (difashion.py:122-267), fully traced."""
+    """The DiFashion training loss (difashion.py:122-267), fully traced.
+
+    `injected` (tests only) overrides the stochastic draws so an external oracle can
+    be driven with identical randomness: keys `enc_eps` [n,h,w,C], `noise` [n,h,w,C],
+    `t_outfit` [B], `p_mask` [n], `p_cate` [n]. When set, the MutualEncoder MLP
+    dropout runs deterministically (its draw has no torch-matchable counterpart).
+    """
+    inj = injected or {}
     params = merge_params(trainable, frozen)
     sched = model.schedule
     r_enc, r_noise, r_offset, r_t, r_mask, r_cate, r_drop = jax.random.split(rng, 7)
@@ -132,9 +140,13 @@ def difashion_loss(
         mean = batch.latent_mean.reshape((B * olen,) + batch.latent_mean.shape[2:])
         logvar = batch.latent_logvar.reshape(mean.shape)
         std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
-        z = mean + std * jax.random.normal(r_enc, mean.shape, jnp.float32)
+        enc_eps = inj.get("enc_eps")
+        if enc_eps is None:
+            enc_eps = jax.random.normal(r_enc, mean.shape, jnp.float32)
+        z = mean + std * enc_eps
         latents = z * model.config.vae.scaling_factor
     else:
+        assert not inj, "injected draws require the latent-moments batch path"
         B, olen = batch.images.shape[:2]
         imgs = batch.images.reshape((B * olen,) + batch.images.shape[2:])
         latents = model.encode_images(params, imgs, rng=r_enc, sample=True)
@@ -142,12 +154,16 @@ def difashion_loss(
     n = B * olen
 
     # ---- noise + shared-per-outfit timestep ---------------------------------
-    noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
-    if cfg.noise_offset:
-        noise = noise + cfg.noise_offset * jax.random.normal(
-            r_offset, (n, 1, 1, latents.shape[-1]), jnp.float32
-        )
-    t_outfit = jax.random.randint(r_t, (B,), 0, sched.num_train_timesteps)
+    noise = inj.get("noise")
+    if noise is None:
+        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+        if cfg.noise_offset:
+            noise = noise + cfg.noise_offset * jax.random.normal(
+                r_offset, (n, 1, 1, latents.shape[-1]), jnp.float32
+            )
+    t_outfit = inj.get("t_outfit")
+    if t_outfit is None:
+        t_outfit = jax.random.randint(r_t, (B,), 0, sched.num_train_timesteps)
     timesteps = jnp.repeat(t_outfit, olen)                 # all items share one t
     noisy = sched.add_noise(latents, noise, timesteps)
 
@@ -159,15 +175,22 @@ def difashion_loss(
         mutual_in = (totals - grp) / (olen - 1)
         mutual_in = mutual_in.reshape(noisy.shape)
         mutual = model.apply_mutual(
-            params, mutual_in, deterministic=False, rng=r_drop
+            params, mutual_in, deterministic=injected is not None, rng=r_drop
         ).astype(jnp.float32)
     else:
         mutual = jnp.broadcast_to(null_latent[None], noisy.shape)
 
-    hist = batch.hist_latents.reshape(noisy.shape).astype(jnp.float32)
+    if cfg.use_history:
+        hist = batch.hist_latents.reshape(noisy.shape).astype(jnp.float32)
+    else:
+        # reference difashion.py:177-184: with use_history off, EVERY item gets the
+        # null latent in the history channel (the lookup is skipped entirely)
+        hist = jnp.broadcast_to(null_latent[None], noisy.shape)
 
     # ---- joint condition dropout windows (difashion.py:186-213) ------------
-    p = jax.random.uniform(r_mask, (n,))
+    p = inj.get("p_mask")
+    if p is None:
+        p = jax.random.uniform(r_mask, (n,))
     null_b = jnp.broadcast_to(null_latent[None], noisy.shape)
     if cfg.use_history and cfg.use_mutual_guidance:
         hist_mask = p < (cfg.mask_ratio + cfg.coupling_mask_ratio)
@@ -187,7 +210,9 @@ def difashion_loss(
     # ---- text with prompt dropout (difashion.py:218-239) --------------------
     ids = batch.input_ids.reshape(n, -1)
     text = model.encode_text(params, ids).astype(jnp.float32)
-    p2 = jax.random.uniform(r_cate, (n,))
+    p2 = inj.get("p_cate")
+    if p2 is None:
+        p2 = jax.random.uniform(r_cate, (n,))
     text = jnp.where(
         (p2 < cfg.cate_mask_ratio)[:, None, None], null_text[None], text
     )

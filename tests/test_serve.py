@@ -135,3 +135,20 @@ def test_service_generate_dpmpp_fast_mode():
     assert len(out["images"]) == 2
     for imgs in out["images"].values():
         assert base64.b64decode(imgs[0])[:2] == b"\xff\xd8"
+
+
+def test_serve_cli_refuses_hash_tokenizer_without_override(tmp_path):
+    """The serving surface enforces the same random-weights refusal policy as
+    generate/evaluate (VERDICT r2): without a real tokenizer and without
+    --allow_random_weights, build_service must refuse before loading anything."""
+    import argparse
+
+    from difashion_tpu.cli.serve import build_service
+
+    args = argparse.Namespace(
+        data_path=str(tmp_path), ckpt_dir=str(tmp_path / "nope"), config=None,
+        tiny=True, scheduler=None, num_inference_steps=None, max_batch=4,
+        tokenizer_dir=None, allow_random_weights=False,
+    )
+    with pytest.raises(FileNotFoundError, match="tokenizer"):
+        build_service(args)
