@@ -241,9 +241,16 @@ class GenerationPipeline:
 
     def generate_batch(self, prep: PreparedBatch) -> np.ndarray:
         """-> uint8 images [F, H, W, 3] (pad rows included; filter with prep.valid)."""
+        return denormalize_to_uint8(np.asarray(self.dispatch_batch(prep)))
+
+    def dispatch_batch(self, prep: PreparedBatch):
+        """Async dispatch of sampler + decode; returns the device array WITHOUT
+        host sync. jax dispatch is asynchronous, so the caller can enqueue the
+        next batch's scan before fetching this one — the host JPEG/manifest work
+        and the device->host transfer then overlap the next batch's denoising
+        (the e2e-vs-per-step gap closed in round 3)."""
         lat = self._sampler(self.params, prep.inputs)
-        imgs = self._decode(self.params, lat)
-        return denormalize_to_uint8(np.asarray(imgs))
+        return self._decode(self.params, lat)
 
     def run(
         self,
@@ -273,6 +280,20 @@ class GenerationPipeline:
         n_batches = -(-len(table) // batch_size)
         if max_batches is not None:
             n_batches = min(n_batches, max_batches)
+
+        def drain(pending):
+            """Host side of one batch: fetch, JPEG-encode, manifests."""
+            prep, imgs_dev = pending
+            imgs = denormalize_to_uint8(np.asarray(imgs_dev))
+            self._save_batch(prep, imgs, run_dir, task, outputs, grds, grd_dict)
+            np.save(run_dir + ".npy", np.array(outputs, dtype=object))
+            if grd_dict is not None:
+                np.save(run_dir + "_grd.npy", np.array(grds, dtype=object))
+
+        # Software-pipelined loop: batch i+1's 50-step scan is dispatched (async)
+        # BEFORE batch i's device->host transfer + JPEG/manifest work, so host
+        # I/O rides under device compute instead of serializing with it.
+        pending = None
         for bi in range(n_batches):
             sl = slice(bi * batch_size, (bi + 1) * batch_size)
             batch = {
@@ -284,11 +305,12 @@ class GenerationPipeline:
             prep = self.prepare_batch(
                 batch, task, key, pad_to=pad_to, pad_outfits=batch_size
             )
-            imgs = self.generate_batch(prep)
-            self._save_batch(prep, imgs, run_dir, task, outputs, grds, grd_dict)
-            np.save(run_dir + ".npy", np.array(outputs, dtype=object))
-            if grd_dict is not None:
-                np.save(run_dir + "_grd.npy", np.array(grds, dtype=object))
+            imgs_dev = self.dispatch_batch(prep)
+            if pending is not None:
+                drain(pending)
+            pending = (prep, imgs_dev)
+        if pending is not None:
+            drain(pending)
         return run_dir
 
     # ------------------------------------------------------------------ save --

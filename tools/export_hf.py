@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt_dir", required=True)
     p.add_argument("--step", type=int, default=None)
@@ -29,7 +29,7 @@ def main():
     p.add_argument("--include_frozen", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--config", default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from safetensors.numpy import save_file
 
