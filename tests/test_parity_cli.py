@@ -4,11 +4,14 @@ import dataclasses
 import json
 import logging
 import os
+import sys
 
 import numpy as np
 import pytest
 
 from difashion_tpu.cli.parity import load_reference_results, parity_table, print_table
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "tools"))
 
 
 # ---------------------------------------------------------------------------
@@ -75,16 +78,13 @@ def test_extractors_refuse_random_backbones(tmp_path):
 # e2e plumbing at tiny scale (slow)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.slow
-def test_parity_cli_end_to_end(tmp_path):
+def _write_fixture_dataset(tmp_path, rng, n_items=12):
+    """Reference-schema dataset + catalog images + tiny-dim CLIP features on disk.
+    Returns (dpath, img_dir, paths_npy, cnn_npy)."""
     from PIL import Image
 
-    from difashion_tpu.cli import parity as parity_cli
-    from difashion_tpu.cli import train as train_cli
     from difashion_tpu.eval.models.open_clip_vit import ViTConfig
 
-    rng = np.random.RandomState(5)
-    n_items = 12
     dpath = tmp_path / "data"
     dpath.mkdir()
     img_dir = tmp_path / "imgs"
@@ -126,6 +126,16 @@ def test_parity_cli_end_to_end(tmp_path):
     d = ViTConfig.tiny().embed_dim
     cnn_npy = tmp_path / "cnn.npy"
     np.save(cnn_npy, rng.rand(n_items, d).astype(np.float32))
+    return dpath, img_dir, paths_npy, cnn_npy
+
+
+@pytest.mark.slow
+def test_parity_cli_end_to_end(tmp_path):
+    from difashion_tpu.cli import parity as parity_cli
+    from difashion_tpu.cli import train as train_cli
+
+    rng = np.random.RandomState(5)
+    dpath, img_dir, paths_npy, cnn_npy = _write_fixture_dataset(tmp_path, rng)
 
     # train 2 tiny steps -> checkpoint (auto-precompute kicks in)
     ckpt = tmp_path / "ckpt"
@@ -176,3 +186,78 @@ def test_parity_cli_end_to_end(tmp_path):
             "--out_dir", str(out_dir), "--tiny", "--allow_random_weights",
             "--max_batches", "1",
         ])
+
+
+@pytest.mark.slow
+def test_parity_cli_strict_from_weights_on_disk(tmp_path):
+    """The weights-arrival drill (VERDICT r2 #2): starting from safetensors FILES ON
+    DISK — an HF-layout SD directory (exporter output) + a complete eval weights_dir
+    incl. a real BPE tokenizer asset — the full parity command runs STRICT (no
+    --allow_random_weights anywhere) through import -> generate -> all drivers ->
+    the printed 2%-gate table. This is exactly the flow the moment real weights land.
+    """
+    from export_eval_weights import export_weights_dir
+    from export_hf import main as export_hf_main
+
+    from difashion_tpu.cli import parity as parity_cli
+    from difashion_tpu.cli import train as train_cli
+
+    rng = np.random.RandomState(17)
+    dpath, img_dir, paths_npy, cnn_npy = _write_fixture_dataset(tmp_path, rng)
+
+    # 1) weights land on disk: eval backbones + tokenizer (synthetic, full layout)
+    weights_dir = str(tmp_path / "eval_weights")
+    export_weights_dir(weights_dir, tiny=True, seed=2, num_classes=50, n_merges=120)
+    tok_dir = os.path.join(weights_dir, "tokenizer")
+
+    # 2) an HF-layout SD checkpoint lands: produce one via the exporter (train a
+    #    couple of tiny steps, export all four towers as diffusers safetensors)
+    seed_ckpt = tmp_path / "seed_ckpt"
+    train_cli.main([
+        "--data_path", str(dpath), "--output_dir", str(seed_ckpt), "--tiny",
+        "--max_train_steps", "2", "--train_batch_size", "2",
+        "--img_folder_path", str(img_dir), "--image_paths_npy", str(paths_npy),
+        "--tokenizer_dir", tok_dir,
+    ])
+    hf_dir = str(tmp_path / "hf")
+    export_hf_main(["--ckpt_dir", str(seed_ckpt), "--out", hf_dir, "--tiny",
+                    "--include_frozen"])
+
+    # 3) fine-tune FROM the safetensors (import_sd_checkpoint path) -> release ckpt
+    ckpt = tmp_path / "ckpt"
+    train_cli.main([
+        "--data_path", str(dpath), "--output_dir", str(ckpt), "--tiny",
+        "--max_train_steps", "1", "--train_batch_size", "2",
+        "--pretrained_dir", hf_dir, "--tokenizer_dir", tok_dir,
+    ])
+
+    # 4) strict parity: no --allow_random_weights anywhere in the chain
+    out_dir = tmp_path / "parity_out"
+    parity_cli.main([
+        "--data_path", str(dpath), "--ckpt_dir", str(ckpt),
+        "--weights_dir", weights_dir,
+        "--img_folder_path", str(img_dir),
+        "--image_paths_npy", str(paths_npy),
+        "--cnn_features_npy", str(cnn_npy),
+        "--out_dir", str(out_dir), "--tiny",
+        "--max_batches", "1",
+    ])
+    results = np.load(out_dir / "eval_results.npy", allow_pickle=True).item()
+    run_name, ours = next(iter(results.items()))
+    assert run_name.startswith("FITB-checkpoint-1-")
+    assert "fid" in ours and np.isfinite(ours["fid"])
+    assert "lpips" in ours and np.isfinite(np.asarray(ours["lpips"]).reshape(-1)[0])
+
+    # 5) the gate table passes against a matching reference
+    ref_json = tmp_path / "ref_ok.json"
+    ref_json.write_text(json.dumps({"fid": float(ours["fid"])}))
+    parity_cli.main([
+        "--data_path", str(dpath), "--ckpt_dir", str(ckpt),
+        "--weights_dir", weights_dir,
+        "--img_folder_path", str(img_dir),
+        "--image_paths_npy", str(paths_npy),
+        "--cnn_features_npy", str(cnn_npy),
+        "--reference_results", str(ref_json),
+        "--out_dir", str(out_dir), "--tiny",
+        "--max_batches", "1",
+    ])
