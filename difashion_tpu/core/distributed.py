@@ -63,6 +63,28 @@ def host_shard(batch: dict, process_index: Optional[int] = None,
     return {k: slice_one(np.asarray(v)) for k, v in batch.items()}
 
 
+def make_global_batch(batch, mesh, spec=None):
+    """Assemble per-process local shards into global jax.Arrays over a multi-host
+    mesh (the device plane of `host_shard`: each process contributes its contiguous
+    slice of the global batch, and jit sees one global array sharded on 'dp').
+
+    Single-process: equivalent to `device_put(x, NamedSharding(mesh, P('dp')))`.
+    `batch` may be any pytree of host arrays (None leaves pass through).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if spec is None:
+        spec = P("dp")
+    sh = NamedSharding(mesh, spec)
+
+    def place(x):
+        if x is None:
+            return None
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(place, batch)
+
+
 def assert_same_across_hosts_note() -> str:
     """Documentation hook: params/conditions must be identical on every host (same
     seed -> same init; checkpoints restore identically). Verified in single-host CI by

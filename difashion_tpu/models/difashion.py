@@ -76,10 +76,11 @@ class DiFashionModel:
 
 
 def create_difashion(config: ModelConfig, rng: jax.Array, dtype=jnp.float32,
-                     remat: bool = False):
+                     remat: bool = False, remat_policy=None):
     """Initialize all four towers. Returns (model, params)."""
     r_unet, r_vae, r_text, r_mut = jax.random.split(rng, 4)
-    unet, unet_params = init_unet(config.unet, r_unet, dtype=dtype, remat=remat)
+    unet, unet_params = init_unet(config.unet, r_unet, dtype=dtype, remat=remat,
+                                  remat_policy=remat_policy)
     vae, vae_params = init_vae(config.vae, r_vae, dtype=dtype)
     text, text_params = init_clip_text(config.text, r_text, dtype=dtype)
     mutual, mutual_params = init_mutual_encoder(config.mutual, r_mut, dtype=dtype)

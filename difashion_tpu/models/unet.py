@@ -39,9 +39,23 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: Dtype = jnp.float32
     remat: bool = False  # jax.checkpoint each block (gradient checkpointing)
+    # Rematerialization policy for the checkpointed blocks: None = save nothing
+    # (recompute everything in bwd); "dots" = save MXU (matmul/conv) outputs and
+    # recompute only the cheap elementwise/layout ops — trades HBM for the
+    # copy/transpose traffic at remat boundaries (BASELINE.md train-step table).
+    remat_policy: Any = None
 
     def _maybe_remat(self, cls):
-        return nn.remat(cls) if self.remat else cls
+        if not self.remat:
+            return cls
+        policies = {
+            None: None,
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "dots_no_batch":
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }
+        policy = policies[self.remat_policy]
+        return nn.remat(cls, policy=policy) if policy is not None else nn.remat(cls)
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
@@ -143,9 +157,10 @@ class UNet2DCondition(nn.Module):
 
 
 def init_unet(config: UNetConfig, rng: jax.Array, dtype=jnp.float32,
-              remat: bool = False):
+              remat: bool = False, remat_policy=None):
     """Initialize a UNet; returns (module, params)."""
-    model = UNet2DCondition(config, dtype=dtype, remat=remat)
+    model = UNet2DCondition(config, dtype=dtype, remat=remat,
+                            remat_policy=remat_policy)
     sample = jnp.zeros((1, config.sample_size, config.sample_size, config.in_channels))
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.zeros((1, 77, config.cross_attention_dim))

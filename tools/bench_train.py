@@ -30,6 +30,10 @@ def main():
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_policy", choices=["dots", "dots_no_batch"],
+                   default=None,
+                   help="checkpoint policy A/B: save MXU outputs at remat "
+                        "boundaries instead of recomputing everything")
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--adam8bit", action="store_true")
     p.add_argument("--no_ema", action="store_true")
@@ -49,7 +53,8 @@ def main():
         use_ema_fashion=not args.no_ema,
     )
     model, params = create_difashion(
-        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, remat=args.remat
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, remat=args.remat,
+        remat_policy=args.remat_policy,
     )
     step_fn, init_fn = build_train_step(model, tcfg)
     state = init_fn(params)
