@@ -95,6 +95,7 @@ def run_training(
     max_steps: Optional[int] = None,
     log_dir: Optional[str] = None,
     image_loader=None,
+    report_to: Optional[tuple] = None,
 ):
     """The training loop as a library function (CLI and tests share it)."""
     log = setup_logging()
@@ -154,7 +155,13 @@ def run_training(
     loader = TrainLoader(
         data.train, tcfg.train_batch_size, seed=tcfg.seed, shuffle=True
     )
-    metrics_log = MetricLogger(log_dir or tcfg.output_dir)
+    metrics_log = MetricLogger(
+        log_dir or tcfg.output_dir, report_to=report_to,
+        run_config={"learning_rate": tcfg.learning_rate,
+                    "train_batch_size": tcfg.train_batch_size,
+                    "max_train_steps": max_steps, "eta": tcfg.eta,
+                    "snr_gamma": tcfg.snr_gamma},
+    )
     timer = StepTimer(n_chips=mesh.devices.size)
     sf = cfg.model.vae.scaling_factor
 
@@ -217,6 +224,10 @@ def main(argv=None):
                    help="train from raw images (bilinear resize + random crop + "
                         "in-step VAE sample, reference train.py:435-444) instead of "
                         "the precomputed-moments fast path")
+    p.add_argument("--report_to", default="tensorboard",
+                   help="comma-separated trackers: tensorboard,wandb,comet_ml "
+                        "(reference train.py:289-297); unavailable packages are "
+                        "skipped with a warning, JSONL metrics always written")
     args = p.parse_args(argv)
 
     cfg = (Config.from_json(open(args.config).read()) if args.config
@@ -288,9 +299,11 @@ def main(argv=None):
             )).convert("RGB")
             return to_model_input(img, size=size, crop="random", rng=np_rng)
 
+    report_to = tuple(t.strip() for t in args.report_to.split(",") if t.strip())
     run_training(
         cfg, data, moments_mean, moments_logvar, hist_store, tokenizer,
         pretrained_dir=args.pretrained_dir, image_loader=image_loader,
+        report_to=report_to,
     )
 
 

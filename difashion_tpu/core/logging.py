@@ -30,24 +30,95 @@ def setup_logging(verbosity: str = "INFO") -> logging.Logger:
     return logger
 
 
-class MetricLogger:
-    """Append-only JSONL metrics + periodic console lines + TensorBoard events.
+class _WandbTracker:
+    """Forward scalars to wandb (reference `--report_to wandb`, train.py:289-297).
+    Honors WANDB_PROJECT / WANDB_MODE; defaults to offline so zero-egress
+    environments record runs locally."""
 
-    The TensorBoard stream matches the reference's default tracker
-    (`accelerator.log({"train_loss": ...}, step=global_step)`, `train.py:289-297,715`):
-    every float metric becomes a scalar tag readable by `tensorboard --logdir`."""
+    def __init__(self, out_dir: str, config: Optional[dict] = None):
+        import wandb  # gated: raises ImportError if not installed
+
+        self._run = wandb.init(
+            project=os.environ.get("WANDB_PROJECT", "difashion-tpu"),
+            dir=out_dir, config=config or {},
+            mode=os.environ.get("WANDB_MODE", "offline"),
+        )
+
+    def add_scalars(self, step, scalars, wall_time=None):
+        self._run.log(dict(scalars), step=int(step))
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self._run.finish()
+
+
+class _CometTracker:
+    """Forward scalars to comet_ml (reference `--report_to comet_ml`)."""
+
+    def __init__(self, out_dir: str, config: Optional[dict] = None):
+        import comet_ml  # gated
+
+        self._exp = comet_ml.Experiment(
+            project_name=os.environ.get("COMET_PROJECT_NAME", "difashion-tpu"),
+        )
+        if config:
+            self._exp.log_parameters(config)
+
+    def add_scalars(self, step, scalars, wall_time=None):
+        self._exp.log_metrics(dict(scalars), step=int(step))
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self._exp.end()
+
+
+def _build_tracker(name: str, out_dir: str, config: Optional[dict]):
+    if name == "tensorboard":
+        from difashion_tpu.core.tensorboard import TBEventWriter
+
+        return TBEventWriter(os.path.join(out_dir, "tb"))
+    if name == "wandb":
+        return _WandbTracker(out_dir, config)
+    if name == "comet_ml":
+        return _CometTracker(out_dir, config)
+    raise ValueError(f"unknown tracker {name!r} "
+                     "(choose from tensorboard, wandb, comet_ml)")
+
+
+class MetricLogger:
+    """Append-only JSONL metrics + periodic console lines + tracker streams.
+
+    `report_to` mirrors the reference's tracker opt-ins (`train.py:289-297`):
+    "tensorboard" (default — clean-room event writer, `core/tensorboard.py`),
+    "wandb", "comet_ml". A requested tracker whose package is missing is skipped
+    with a loud warning (the JSONL file is always written, so no metrics are
+    ever lost to a missing integration)."""
 
     def __init__(self, out_dir: str, name: str = "metrics",
-                 console_every: int = 50, tensorboard: bool = True):
+                 console_every: int = 50, tensorboard: bool = True,
+                 report_to: Optional[tuple] = None,
+                 run_config: Optional[dict] = None):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, f"{name}.jsonl")
         self.console_every = console_every
         self._f = open(self.path, "a")
-        self._tb = None
-        if tensorboard:
-            from difashion_tpu.core.tensorboard import TBEventWriter
-
-            self._tb = TBEventWriter(os.path.join(out_dir, "tb"))
+        if report_to is None:
+            report_to = ("tensorboard",) if tensorboard else ()
+        self._trackers = []
+        self.active_trackers = []
+        for t in report_to:
+            try:
+                self._trackers.append(_build_tracker(t, out_dir, run_config))
+                self.active_trackers.append(t)
+            except ImportError as e:
+                logger.warning(
+                    "tracker %r requested but its package is unavailable (%s) — "
+                    "skipping; metrics still recorded in %s", t, e, self.path,
+                )
 
     def log(self, step: int, **metrics) -> None:
         rec = {"step": int(step), "time": time.time()}
@@ -57,12 +128,12 @@ class MetricLogger:
         })
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
-        if self._tb is not None:
-            scalars = {k: v for k, v in rec.items()
-                       if isinstance(v, float) and k != "time"}
-            if scalars:
-                self._tb.add_scalars(step, scalars, wall_time=rec["time"])
-                self._tb.flush()
+        scalars = {k: v for k, v in rec.items()
+                   if isinstance(v, float) and k != "time"}
+        if scalars:
+            for t in self._trackers:
+                t.add_scalars(step, scalars, wall_time=rec["time"])
+                t.flush()
         if step % self.console_every == 0:
             pretty = " ".join(
                 f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
@@ -72,8 +143,8 @@ class MetricLogger:
 
     def close(self) -> None:
         self._f.close()
-        if self._tb is not None:
-            self._tb.close()
+        for t in self._trackers:
+            t.close()
 
 
 class StepTimer:

@@ -262,6 +262,60 @@ def test_metric_logger_writes_tb_scalars(tmp_path):
     assert "note" not in evs[0]["scalars"]
 
 
+def test_metric_logger_report_to_wandb_contract(tmp_path, monkeypatch):
+    """The wandb tracker opt-in (reference --report_to wandb, train.py:289-297)
+    forwards every float scalar with the step; proven against a fake wandb
+    module (the real package is not installed in this image)."""
+    import sys
+    import types
+
+    calls = []
+
+    class FakeRun:
+        def log(self, scalars, step=None):
+            calls.append((step, dict(scalars)))
+
+        def finish(self):
+            calls.append(("finish", None))
+
+    fake = types.ModuleType("wandb")
+    init_kwargs = {}
+
+    def fake_init(**kw):
+        init_kwargs.update(kw)
+        return FakeRun()
+
+    fake.init = fake_init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from difashion_tpu.core.logging import MetricLogger
+
+    ml = MetricLogger(str(tmp_path), report_to=("wandb",),
+                      run_config={"learning_rate": 1e-5})
+    assert ml.active_trackers == ["wandb"]
+    assert init_kwargs["mode"] == "offline"          # zero-egress default
+    assert init_kwargs["config"] == {"learning_rate": 1e-5}
+    ml.log(3, loss=0.5, note="text-skipped")
+    ml.close()
+    assert calls[0][0] == 3 and abs(calls[0][1]["loss"] - 0.5) < 1e-9
+    assert "note" not in calls[0][1]
+    assert calls[-1] == ("finish", None)
+    # the JSONL file is written regardless of tracker choice
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_metric_logger_missing_tracker_skipped(tmp_path):
+    """A requested tracker whose package is absent is skipped loudly, never
+    fatally (comet_ml is not installed here)."""
+    from difashion_tpu.core.logging import MetricLogger
+
+    ml = MetricLogger(str(tmp_path), report_to=("comet_ml",))
+    assert ml.active_trackers == []
+    ml.log(0, loss=1.0)
+    ml.close()
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
 def test_enable_compile_cache(tmp_path):
     from difashion_tpu.core.logging import enable_compile_cache
 
