@@ -114,34 +114,57 @@ def main():
     )
 
     spec = make_guidance_spec(12.0, 4.0, 5.0)
-    sampler = build_sampler(model, num_inference_steps=50, spec=spec, eta=0.1,
-                            scheduler="pndm")
 
-    def run(params, inputs):
-        lat = sampler(params, inputs)
-        return decode_and_postprocess(model, params, lat)
+    def time_mode(scheduler: str, steps: int) -> float:
+        """Compile + warm one sampler mode, return best-of-N steady-state seconds
+        per batch under the software-pipelined protocol `GenerationPipeline.run`
+        actually uses: batch i+1 is dispatched (async) BEFORE batch i's
+        device->host transfer, so dispatch/RTT/fetch overlap device compute.
+        Each measured interval is fetch(i)->fetch(i+1) with one batch always in
+        flight — i.e. the per-batch period of a saturated serving loop."""
+        sampler = build_sampler(model, num_inference_steps=steps, spec=spec,
+                                eta=0.1, scheduler=scheduler)
 
-    jitted = jax.jit(run)
-    imgs = jitted(params, inputs)                          # compile + warmup
-    assert imgs.shape == (F, 512, 512, 3)
-    float(imgs[0, 0, 0, 0])  # host-transfer sync (remote backend's
-    # block_until_ready can resolve before execution completes)
+        def run(params, inputs):
+            lat = sampler(params, inputs)
+            return decode_and_postprocess(model, params, lat)
 
-    # best-of-N: the shared-tunnel chip's throughput varies a few percent
-    # run-to-run; the minimum is the stable estimator of the machine's capability
-    n_iters = 6
-    times = []
-    for _ in range(n_iters):
+        jitted = jax.jit(run)
+        imgs = jitted(params, inputs)                      # compile + warmup
+        assert imgs.shape == (F, 512, 512, 3)
+        float(imgs[0, 0, 0, 0])  # host-transfer sync (remote backend's
+        # block_until_ready can resolve before execution completes)
+
+        # best-of-N: the shared-tunnel chip's throughput varies a few percent
+        # run-to-run; the minimum is the stable estimator of the machine's capability
+        inflight = jitted(params, inputs)                  # fill the pipeline
+        times = []
         t0 = time.perf_counter()
-        # sync on a transferred value (remote backend's block_until_ready can
-        # resolve before execution completes)
-        imgs = jitted(params, inputs)
-        float(imgs[0, 0, 0, 0])
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        for _ in range(6):
+            nxt = jitted(params, inputs)                   # async dispatch ahead
+            float(inflight[0, 0, 0, 0])                    # fetch previous batch
+            t1 = time.perf_counter()
+            times.append(t1 - t0)
+            t0 = t1
+            inflight = nxt
+        float(inflight[0, 0, 0, 0])                        # drain
+        return min(times)
 
+    dt = time_mode("pndm", 50)                   # the north-star config
     n_chips = jax.device_count()
     images_per_sec_per_chip = F / dt / n_chips
+
+    # fast-serving mode (dpmpp @ 20 steps, `cli/serve.py --scheduler dpmpp`):
+    # recorded as a secondary row so BENCH_r*.json carries both modes
+    secondary = None
+    if _os.environ.get("BENCH_SKIP_DPMPP", "") != "1":
+        dt2 = time_mode("dpmpp", 20)
+        secondary = {
+            "metric": "outfit_images_per_sec_per_chip_512px_20step_dpmpp_4cfg",
+            "value": round(F / dt2 / n_chips, 4),
+            "unit": "images/sec/chip",
+        }
+
     lo, hi = ESTIMATED_REF_RANGE
     print(json.dumps({
         "metric": "outfit_images_per_sec_per_chip_512px_50step_pndm_4cfg",
@@ -159,6 +182,7 @@ def main():
             round(images_per_sec_per_chip / hi, 3),
             round(images_per_sec_per_chip / lo, 3),
         ],
+        **({"secondary": [secondary]} if secondary else {}),
     }))
 
 
