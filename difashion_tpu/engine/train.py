@@ -373,22 +373,30 @@ def shard_train_step(train_step, mesh: Mesh):
 
 def place_state_zero1(state: TrainState, mesh: Mesh) -> TrainState:
     """ZeRO-1-style placement: params replicated, optimizer moments + EMA sharded over
-    'dp' along their leading dim (leaves not divisible by the dp size stay replicated).
+    'dp' along each leaf's LARGEST dim divisible by the dp size (leaves with no such
+    dim stay replicated). Sharding the largest divisible axis — not just the leading
+    one — matters because conv-kernel moments are HWIO `[3,3,Cin,Cout]`: their leading
+    dim is 3, but Cin/Cout are multiples of any realistic dp size, and convs carry
+    roughly half the UNet's parameters.
 
     Under jit's global-view semantics XLA then computes each chip's slice of the
     optimizer update from its local moment shard and all-gathers the parameter delta —
-    an 8x optimizer-memory saving on a v5e-8 slice with no algorithm change. The
+    an ~8x optimizer-memory saving on a v5e-8 slice with no algorithm change. The
     reference has no analogue (single-GPU, full-state Adam); this is what makes the
-    866M-param fp32-state recipe fit comfortably per-chip at scale.
+    866M-param fp32-state recipe fit per-chip at scale (see `engine/memory.py` for
+    the eval_shape-based accounting that pins the numbers).
     """
     ndev = mesh.devices.size
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("dp"))
 
     def place(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % ndev == 0 and \
-                x.shape[0] > 0:
-            return jax.device_put(x, shard)
+        if hasattr(x, "shape") and x.ndim >= 1 and x.size > 0:
+            divisible = [(d, ax) for ax, d in enumerate(x.shape) if d % ndev == 0]
+            if divisible:
+                _, axis = max(divisible)
+                spec = [None] * x.ndim
+                spec[axis] = "dp"
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, repl)
 
     params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state.params)
