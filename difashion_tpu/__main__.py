@@ -7,6 +7,7 @@ Commands mirror the reference's public entry points (`/root/reference/README.md:
   extract-features   catalog VAE moments + CLIP features + history means
   parity             turnkey quality-parity runbook (generate + evaluate + 2% gates)
   serve              warm-model HTTP generation service
+  info               environment + training-state HBM capacity planner
 """
 import sys
 
@@ -33,6 +34,8 @@ def main():
         from difashion_tpu.cli.parity import main as run
     elif cmd == "serve":
         from difashion_tpu.cli.serve import main as run
+    elif cmd == "info":
+        from difashion_tpu.cli.info import main as run
     else:
         print(f"unknown command {cmd!r}\n{__doc__}")
         return 2

@@ -193,3 +193,18 @@ def test_train_cli_auto_precompute_from_images(tmp_path):
         "--resume_from_checkpoint", "latest",
     ])
     assert (out_dir / "checkpoint-3").exists()
+
+
+def test_info_cli_json(capsys):
+    """`difashion_tpu info` capacity planner: tiny model, machine-readable output."""
+    import json as _json
+
+    from difashion_tpu.cli.info import main as info_main
+
+    info_main(["--model", "tiny", "--dp_size", "8", "--json"])
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["mesh"] == {"dp": 8}
+    acc = out["hbm_accounting"]
+    assert acc["fits_dp"] and acc["fits_zero1"]  # tiny model fits everywhere
+    assert acc["per_chip_bytes_zero1"] < acc["per_chip_bytes_dp"]
+    assert acc["param_count_trainable"] > 0
