@@ -19,6 +19,7 @@ form (`:533-566`) are encoded in a `GuidanceSpec` table built by `make_guidance_
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
@@ -255,10 +256,16 @@ def build_sampler(
             init_state = dpmpp_init_state(inputs.init_latents.shape)
         else:
             init_state = pndm_init_state(inputs.init_latents.shape)
+        # DIFASHION_SCAN_UNROLL=k replicates the scan body k times per loop
+        # iteration — numerics-identical, trades compile time/code size for less
+        # loop bookkeeping (an A/B knob for the on-device e2e-vs-per-step gap;
+        # measured results in BASELINE.md).
+        unroll = int(os.environ.get("DIFASHION_SCAN_UNROLL", "1"))
         (latents, _), traj = jax.lax.scan(
             body,
             (inputs.init_latents.astype(jnp.float32), init_state),
             (rows, step_noise),
+            unroll=unroll,
         )
         if return_trajectory:
             return latents, traj
