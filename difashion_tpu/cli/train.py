@@ -96,6 +96,8 @@ def run_training(
     log_dir: Optional[str] = None,
     image_loader=None,
     report_to: Optional[tuple] = None,
+    validation_every: int = 0,
+    validation_batches: int = 1,
 ):
     """The training loop as a library function (CLI and tests share it)."""
     log = setup_logging()
@@ -165,6 +167,52 @@ def run_training(
     timer = StepTimer(n_chips=mesh.devices.size)
     sf = cfg.model.vae.scaling_factor
 
+    # ---- in-training validation sampling (the reference ships this as intent
+    # only — a commented-out block at train.py:729-835: every N steps, swap the
+    # EMA weights in and sample a few valid-split FITB outfits to samples/).
+    # Here it is a working opt-in; the pipeline (and its compiled sampler) is
+    # built once and re-driven with the current EMA params each time. ----------
+    val_pipe = None
+    if validation_every > 0 and data.fitb_valid is not None:
+        import os
+
+        from difashion_tpu.engine.pipeline import GenerationPipeline
+
+        all_latents = (moments_mean * sf if moments_mean is not None else None)
+        if all_latents is None:
+            log.warning("validation sampling without catalog latents: known "
+                        "slots fall back to the null latent")
+        val_hist = HistLatentStore.from_catalog(
+            data.history.get("valid", {}),
+            all_latents if all_latents is not None else np.zeros(
+                (1,) + hist_store.null.shape, np.float32
+            ),
+        )
+        samples_dir = os.path.join(log_dir or tcfg.output_dir, "samples")
+
+        def run_validation(cur_state, at_step):
+            nonlocal val_pipe
+            val_params = dict(cur_state.params)
+            if cur_state.ema is not None:    # EMA copy_to (train.py:737-743 intent)
+                val_params.update(cur_state.ema.params)
+            if val_pipe is None:
+                val_pipe = GenerationPipeline(
+                    model, val_params, cfg, id_cate, tokenizer, val_hist,
+                    item_latents=all_latents,
+                )
+            else:
+                val_pipe.params = val_params   # keep the compiled sampler
+            out = val_pipe.run(
+                data.fitb_valid, "FITB", samples_dir, f"step-{at_step}",
+                grd_dict=data.valid_grd, seed=tcfg.seed,
+                max_batches=validation_batches,
+            )
+            log.info("validation samples at step %d -> %s", at_step, out)
+    elif validation_every > 0:
+        log.warning("--validation_steps set but no fitb_valid split found; "
+                    "validation sampling disabled")
+        validation_every = 0
+
     state = place_repl(state)
     step = start_step
     sync_every = max(1, metrics_log.console_every)
@@ -195,6 +243,9 @@ def run_training(
         if step % tcfg.checkpointing_steps == 0 or step >= max_steps:
             store.save_async(state, step)
             log.info("saved checkpoint-%d (async)", step)
+        if validation_every > 0 and step % validation_every == 0:
+            run_validation(state, step)
+            timer.start()   # exclude validation wall time from step timing
     store.wait()
     metrics_log.close()
     return state, model
@@ -224,6 +275,13 @@ def main(argv=None):
                    help="train from raw images (bilinear resize + random crop + "
                         "in-step VAE sample, reference train.py:435-444) instead of "
                         "the precomputed-moments fast path")
+    p.add_argument("--validation_steps", type=int, default=0,
+                   help="sample a few valid-split FITB outfits with the EMA "
+                        "weights every N steps into <output_dir>/samples/ "
+                        "(working version of the reference's commented-out "
+                        "validation block, train.py:729-835; 0 = off)")
+    p.add_argument("--validation_batches", type=int, default=1,
+                   help="valid batches per validation pass (reference intent: 4)")
     p.add_argument("--report_to", default="tensorboard",
                    help="comma-separated trackers: tensorboard,wandb,comet_ml "
                         "(reference train.py:289-297); unavailable packages are "
@@ -303,7 +361,8 @@ def main(argv=None):
     run_training(
         cfg, data, moments_mean, moments_logvar, hist_store, tokenizer,
         pretrained_dir=args.pretrained_dir, image_loader=image_loader,
-        report_to=report_to,
+        report_to=report_to, validation_every=args.validation_steps,
+        validation_batches=args.validation_batches,
     )
 
 

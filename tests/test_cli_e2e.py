@@ -208,3 +208,46 @@ def test_info_cli_json(capsys):
     assert acc["fits_dp"] and acc["fits_zero1"]  # tiny model fits everywhere
     assert acc["per_chip_bytes_zero1"] < acc["per_chip_bytes_dp"]
     assert acc["param_count_trainable"] > 0
+
+
+@pytest.mark.slow
+def test_in_training_validation_sampling(tmp_path):
+    """--validation_steps: EMA-weight FITB samples land in <logs>/samples/step-N/
+    (working version of the reference's commented-out block, train.py:729-835)."""
+    from difashion_tpu.cli.train import run_training
+
+    cfg = Config.preset_tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, output_dir=str(tmp_path / "ckpt"), checkpointing_steps=10,
+            train_batch_size=2, learning_rate=1e-4,
+        ),
+        generation=dataclasses.replace(
+            cfg.generation, num_inference_steps=2, fitb_batch_size=4
+        ),
+    )
+    data, n_items = _synthetic_data()
+    data.history["valid"] = data.history["test"]
+    h, C = cfg.model.unet.sample_size, cfg.model.vae.latent_channels
+    rng = np.random.RandomState(1)
+    mean = rng.randn(n_items, h, h, C).astype(np.float32) * 0.5
+    logvar = np.full_like(mean, -6.0)
+    hist = HistLatentStore.from_catalog(
+        data.history["train"], mean * cfg.model.vae.scaling_factor
+    )
+    tok = HashTokenizer(vocab_size=cfg.model.text.vocab_size)
+
+    run_training(
+        cfg, data, mean, logvar, hist, tok, max_steps=2,
+        log_dir=str(tmp_path / "logs"),
+        validation_every=2, validation_batches=1,
+    )
+    samples = tmp_path / "logs" / "samples"
+    runs = os.listdir(samples)
+    assert any(r.startswith("step-2") for r in runs), runs
+    run_dir = samples / [r for r in runs if r.startswith("step-2")
+                         and not r.endswith(".npy")][0]
+    man = np.load(str(run_dir) + ".npy", allow_pickle=True).item()
+    first = next(iter(next(iter(man.values())).values()))
+    assert os.path.exists(first["image_paths"][0])
