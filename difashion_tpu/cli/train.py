@@ -208,6 +208,26 @@ def run_training(
                 max_batches=validation_batches,
             )
             log.info("validation samples at step %d -> %s", at_step, out)
+            # one grid of this pass's generations into the trackers
+            try:
+                from PIL import Image as PILImage
+
+                from difashion_tpu.engine.pipeline import merge_images_grid
+
+                man = np.load(out + ".npy", allow_pickle=True).item()
+                paths = [
+                    p for per_uid in man.values() for rec in per_uid.values()
+                    for p in rec["image_paths"]
+                ][:16]
+                if paths:
+                    imgs = np.stack(
+                        [np.asarray(PILImage.open(p).convert("RGB")) for p in paths]
+                    )
+                    metrics_log.log_image(
+                        at_step, "validation/fitb_samples", merge_images_grid(imgs)
+                    )
+            except Exception as e:   # observability must never kill training
+                log.warning("validation image logging failed: %s", e)
     elif validation_every > 0:
         log.warning("--validation_steps set but no fitb_valid split found; "
                     "validation sampling disabled")

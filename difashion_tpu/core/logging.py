@@ -141,6 +141,20 @@ class MetricLogger:
             )
             logger.info(pretty)
 
+    def log_image(self, step: int, tag: str, image) -> None:
+        """Forward a uint8 [H, W, 3] sample image to trackers that accept images
+        (the TB writer natively; wandb/comet adapters expose add_image where the
+        package supports it). JSONL records the event, not the pixels."""
+        self._f.write(json.dumps(
+            {"step": int(step), "time": time.time(), "image": tag}
+        ) + "\n")
+        self._f.flush()
+        for t in self._trackers:
+            add = getattr(t, "add_image", None)
+            if add is not None:
+                add(tag, image, int(step))
+                t.flush()
+
     def close(self) -> None:
         self._f.close()
         for t in self._trackers:

@@ -11,6 +11,8 @@ Wire format (both directions implemented here):
   Event   = 1: double wall_time | 2: int64 step | 3: string file_version
             | 5: Summary
   Summary = repeated 1: Value;  Value = 1: string tag | 2: float simple_value
+            | 4: Image;  Image = 1: int32 height | 2: int32 width
+            | 3: int32 colorspace (3 = RGB) | 4: bytes encoded (PNG)
 """
 from __future__ import annotations
 
@@ -81,7 +83,9 @@ def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
 
 def _encode_event(wall_time: float, step: Optional[int] = None,
                   file_version: Optional[str] = None,
-                  scalars: Optional[dict] = None) -> bytes:
+                  scalars: Optional[dict] = None,
+                  images: Optional[dict] = None) -> bytes:
+    """images: {tag: (height, width, colorspace, encoded_png_bytes)}."""
     out = bytearray()
     out += b"\x09" + struct.pack("<d", wall_time)            # 1: wall_time
     if step is not None:
@@ -89,19 +93,28 @@ def _encode_event(wall_time: float, step: Optional[int] = None,
     if file_version is not None:
         fv = file_version.encode()
         out += b"\x1a" + _varint(len(fv)) + fv               # 3: file_version
-    if scalars:
+    if scalars or images:
         summary = bytearray()
-        for tag, value in scalars.items():
+        for tag, value in (scalars or {}).items():
             t = tag.encode()
             v = (b"\x0a" + _varint(len(t)) + t               # Value.tag
                  + b"\x15" + struct.pack("<f", float(value)))  # Value.simple_value
+            summary += b"\x0a" + _varint(len(v)) + v         # Summary.value
+        for tag, (h, w, cs, png) in (images or {}).items():
+            img = (b"\x08" + _varint(h)                      # Image.height
+                   + b"\x10" + _varint(w)                    # Image.width
+                   + b"\x18" + _varint(cs)                   # Image.colorspace
+                   + b"\x22" + _varint(len(png)) + png)      # Image.encoded
+            t = tag.encode()
+            v = (b"\x0a" + _varint(len(t)) + t               # Value.tag
+                 + b"\x22" + _varint(len(img)) + img)        # Value.image
             summary += b"\x0a" + _varint(len(v)) + v         # Summary.value
         out += b"\x2a" + _varint(len(summary)) + bytes(summary)  # 5: summary
     return bytes(out)
 
 
 def _decode_event(data: bytes) -> dict:
-    ev: dict = {"scalars": {}}
+    ev: dict = {"scalars": {}, "images": {}}
     pos = 0
     while pos < len(data):
         key, pos = _read_varint(data, pos)
@@ -122,7 +135,7 @@ def _decode_event(data: bytes) -> dict:
             if field == 3:
                 ev["file_version"] = val.decode()
             elif field == 5:
-                _decode_summary(val, ev["scalars"])
+                _decode_summary(val, ev["scalars"], ev["images"])
         elif wire == 5:     # 32-bit
             pos += 4
         else:
@@ -130,7 +143,8 @@ def _decode_event(data: bytes) -> dict:
     return ev
 
 
-def _decode_summary(data: bytes, scalars: dict) -> None:
+def _decode_summary(data: bytes, scalars: dict,
+                    images: Optional[dict] = None) -> None:
     pos = 0
     while pos < len(data):
         key, pos = _read_varint(data, pos)
@@ -138,7 +152,7 @@ def _decode_summary(data: bytes, scalars: dict) -> None:
             ln, pos = _read_varint(data, pos)
             v = data[pos:pos + ln]
             pos += ln
-            tag, value, vp = None, None, 0
+            tag, value, image, vp = None, None, None, 0
             while vp < len(v):
                 vkey, vp = _read_varint(v, vp)
                 if vkey >> 3 == 1 and vkey & 7 == 2:
@@ -148,13 +162,40 @@ def _decode_summary(data: bytes, scalars: dict) -> None:
                 elif vkey >> 3 == 2 and vkey & 7 == 5:
                     value = struct.unpack("<f", v[vp:vp + 4])[0]
                     vp += 4
+                elif vkey >> 3 == 4 and vkey & 7 == 2:
+                    vl, vp = _read_varint(v, vp)
+                    image = _decode_image(v[vp:vp + vl])
+                    vp += vl
                 else:
                     break
             if tag is not None and value is not None:
                 scalars[tag] = value
+            if tag is not None and image is not None and images is not None:
+                images[tag] = image
         else:
             break
     return None
+
+
+def _decode_image(data: bytes) -> dict:
+    img: dict = {}
+    pos = 0
+    fields = {1: "height", 2: "width", 3: "colorspace"}
+    while pos < len(data):
+        key, pos = _read_varint(data, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(data, pos)
+            if field in fields:
+                img[fields[field]] = val
+        elif wire == 2:
+            ln, pos = _read_varint(data, pos)
+            if field == 4:
+                img["png"] = data[pos:pos + ln]
+            pos += ln
+        else:
+            break
+    return img
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +230,26 @@ class TBEventWriter:
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self.add_scalars(step, {tag: value})
+
+    def add_image(self, tag: str, image, step: int,
+                  wall_time: Optional[float] = None) -> None:
+        """image: uint8 numpy array [H, W, 3] (RGB) or [H, W] (grayscale)."""
+        import io
+
+        import numpy as np
+        from PIL import Image as PILImage
+
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            raise TypeError(f"add_image expects uint8, got {arr.dtype}")
+        h, w = arr.shape[:2]
+        cs = 3 if arr.ndim == 3 else 1          # TB colorspace: 1=gray, 3=RGB
+        buf = io.BytesIO()
+        PILImage.fromarray(arr).save(buf, format="PNG")
+        self._write(_encode_event(
+            wall_time if wall_time is not None else time.time(),
+            step=int(step), images={tag: (h, w, cs, buf.getvalue())},
+        ))
 
     def flush(self) -> None:
         self._f.flush()

@@ -251,3 +251,12 @@ def test_in_training_validation_sampling(tmp_path):
     man = np.load(str(run_dir) + ".npy", allow_pickle=True).item()
     first = next(iter(next(iter(man.values())).values()))
     assert os.path.exists(first["image_paths"][0])
+
+    # the sample grid must have reached the TensorBoard stream as an image event
+    import glob
+
+    from difashion_tpu.core.tensorboard import read_events
+
+    files = glob.glob(str(tmp_path / "logs" / "tb" / "events.out.tfevents.*"))
+    img_evs = [e for f in files for e in read_events(f) if e.get("images")]
+    assert img_evs and "validation/fitb_samples" in img_evs[0]["images"]

@@ -328,3 +328,50 @@ def test_enable_compile_cache(tmp_path):
     import jax as _jax
 
     assert _jax.config.jax_compilation_cache_dir == d
+
+
+def test_tensorboard_image_roundtrip(tmp_path):
+    """Image summaries (Value field 4): PNG round-trips bit-exact through the
+    TFRecord framing, and scalar events written to the same stream still parse."""
+    import numpy as np
+    from PIL import Image
+    import io
+
+    from difashion_tpu.core.tensorboard import TBEventWriter, read_events
+
+    w = TBEventWriter(str(tmp_path))
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    w.add_image("validation/sample", img, step=7)
+    w.add_scalar("loss", 0.5, step=8)
+    w.close()
+
+    events = list(read_events(w.path, verify_crc=True))
+    img_evs = [e for e in events if e.get("images")]
+    assert len(img_evs) == 1 and img_evs[0]["step"] == 7
+    rec = img_evs[0]["images"]["validation/sample"]
+    assert (rec["height"], rec["width"], rec["colorspace"]) == (8, 12, 3)
+    decoded = np.asarray(Image.open(io.BytesIO(rec["png"])))
+    np.testing.assert_array_equal(decoded, img)
+    scalar_evs = [e for e in events if e.get("scalars")]
+    assert scalar_evs[-1]["scalars"]["loss"] == 0.5
+
+
+def test_metric_logger_log_image(tmp_path):
+    import numpy as np
+
+    from difashion_tpu.core.logging import MetricLogger
+    from difashion_tpu.core.tensorboard import read_events
+    import glob
+    import json
+
+    ml = MetricLogger(str(tmp_path), tensorboard=True)
+    ml.log(1, loss=1.0)
+    ml.log_image(1, "samples/grid", np.zeros((4, 4, 3), np.uint8))
+    ml.close()
+    files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    evs = [e for e in read_events(files[0]) if e.get("images")]
+    assert evs and "samples/grid" in evs[0]["images"]
+    # the JSONL records the event without pixels
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert any(l.get("image") == "samples/grid" for l in lines)
