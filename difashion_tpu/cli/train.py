@@ -181,13 +181,15 @@ def run_training(
         all_latents = (moments_mean * sf if moments_mean is not None else None)
         if all_latents is None:
             log.warning("validation sampling without catalog latents: known "
-                        "slots fall back to the null latent")
-        val_hist = HistLatentStore.from_catalog(
-            data.history.get("valid", {}),
-            all_latents if all_latents is not None else np.zeros(
-                (1,) + hist_store.null.shape, np.float32
-            ),
-        )
+                        "slots and history fall back to the null latent")
+            # no catalog to average: empty history -> every lookup hits null
+            val_hist = HistLatentStore(
+                {}, np.zeros(hist_store.null.shape, np.float32)
+            )
+        else:
+            val_hist = HistLatentStore.from_catalog(
+                data.history.get("valid", {}), all_latents
+            )
         samples_dir = os.path.join(log_dir or tcfg.output_dir, "samples")
 
         def run_validation(cur_state, at_step):

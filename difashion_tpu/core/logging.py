@@ -47,6 +47,11 @@ class _WandbTracker:
     def add_scalars(self, step, scalars, wall_time=None):
         self._run.log(dict(scalars), step=int(step))
 
+    def add_image(self, tag, image, step):
+        import wandb
+
+        self._run.log({tag: wandb.Image(image)}, step=int(step))
+
     def flush(self):
         pass
 
@@ -68,6 +73,9 @@ class _CometTracker:
 
     def add_scalars(self, step, scalars, wall_time=None):
         self._exp.log_metrics(dict(scalars), step=int(step))
+
+    def add_image(self, tag, image, step):
+        self._exp.log_image(image, name=tag, step=int(step))
 
     def flush(self):
         pass

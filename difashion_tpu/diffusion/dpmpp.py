@@ -88,6 +88,15 @@ def make_dpmpp_plan(
     else:
         raise ValueError(f"unknown timestep_spacing {timestep_spacing!r}")
     assert np.all(np.diff(seq) < 0), "dpmpp timestep grid must be strictly decreasing"
+    if seq.max() >= T:
+        # 'leading' spacing with steps_offset=1 pushes the grid max to T at n==T,
+        # out of range for alphas_cumprod — refuse loudly instead of IndexError
+        raise ValueError(
+            f"timestep grid max {int(seq.max())} exceeds num_train_timesteps-1 "
+            f"({T - 1}); reduce num_inference_steps (got {n}) for "
+            f"timestep_spacing={timestep_spacing!r} with steps_offset="
+            f"{sched.steps_offset}"
+        )
 
     acp = np.asarray(sched.alphas_cumprod, np.float64)
     # per-iteration (current) and boundary-extended (next) alpha/sigma ladders

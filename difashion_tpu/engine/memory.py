@@ -96,7 +96,7 @@ def format_accounting(acc: Dict[str, Any], hbm_bytes: int = 16 * 2**30) -> str:
     gb = lambda b: f"{b / 2**30:.2f} GiB"
     lines = [
         f"training-state HBM accounting ({acc['param_count_trainable']/1e6:.0f}M "
-        f"trainable params, {acc['n_devices']} devices, 16 GiB/chip v5e):",
+        f"trainable params, {acc['n_devices']} devices, {gb(hbm_bytes)}/chip):",
     ]
     for k, v in acc["buckets"].items():
         lines.append(f"  {k:<18} {gb(v)}")

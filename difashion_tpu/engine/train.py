@@ -129,6 +129,9 @@ def difashion_loss(
     `t_outfit` [B], `p_mask` [n], `p_cate` [n]. When set, the MutualEncoder MLP
     dropout runs deterministically (its draw has no torch-matchable counterpart).
     """
+    # empty dict == no overrides == production behavior everywhere (including
+    # the MutualEncoder-dropout determinism switch below)
+    injected = injected or None
     inj = injected or {}
     params = merge_params(trainable, frozen)
     sched = model.schedule
@@ -270,11 +273,17 @@ def build_train_step(model: DiFashionModel, cfg: TrainConfig):
             # microbatch scan over leading-dim splits of the batch
             k = cfg.gradient_accumulation_steps
 
-            def micro(carry, mb):
+            def micro(carry, xs):
+                mb, idx = xs
                 acc_g, acc_l = carry
+                # fresh draws per microbatch: fold the microbatch index into the
+                # step rng, otherwise all k microbatches share identical
+                # noise/timesteps/dropout masks and accum=k is not a faithful
+                # stand-in for batch size B
+                mrng = jax.random.fold_in(rng, idx)
                 (l, _), g = jax.value_and_grad(
                     lambda tr: difashion_loss(
-                        model, tr, frozen, mb, null_latent, null_text, rng, cfg
+                        model, tr, frozen, mb, null_latent, null_text, mrng, cfg
                     ),
                     has_aux=True,
                 )(trainable)
@@ -289,7 +298,9 @@ def build_train_step(model: DiFashionModel, cfg: TrainConfig):
                 if x is not None else None,
                 batch,
             )
-            (grads, loss_sum), _ = jax.lax.scan(micro, (zero_g, 0.0), mbs)
+            (grads, loss_sum), _ = jax.lax.scan(
+                micro, (zero_g, 0.0), (mbs, jnp.arange(k, dtype=jnp.uint32))
+            )
             grads = jax.tree_util.tree_map(lambda g: g / k, grads)
             loss = loss_sum / k
             metrics = {"loss": loss}

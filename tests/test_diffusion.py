@@ -489,3 +489,19 @@ def test_production_schedule_matches_pinned_golden_constants():
             np.linspace(0, s.num_train_timesteps - 1, n).round().astype(np.int64),
             z[f"linspace_{n}"],
         )
+
+
+def test_dpmpp_leading_grid_overflow_refused():
+    """n == T with 'leading' spacing + steps_offset=1 would index alphas_cumprod
+    at T: must raise ValueError, not IndexError."""
+    import pytest
+
+    from difashion_tpu.core.config import SchedulerConfig
+    from difashion_tpu.diffusion.dpmpp import make_dpmpp_plan
+    from difashion_tpu.diffusion.schedule import DiffusionSchedule
+
+    sched = DiffusionSchedule.create(SchedulerConfig())
+    assert sched.steps_offset == 1
+    with pytest.raises(ValueError, match="exceeds num_train_timesteps"):
+        make_dpmpp_plan(sched, sched.num_train_timesteps,
+                        timestep_spacing="leading")

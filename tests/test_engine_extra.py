@@ -140,3 +140,68 @@ def test_nonfinite_grad_guard(tiny_model):
         lambda a, b: float(jnp.abs(a - b).max()),
         state2.params["unet"], state3.params["unet"])))
     assert diff > 0
+
+
+def test_grad_accum_fresh_draws_per_microbatch(tiny_model):
+    """Each microbatch must fold its index into the step rng: accum=2 grads equal
+    the mean of two single-microbatch grad evaluations at fold_in(rng, 0/1) — and
+    in particular the k microbatches do NOT share noise/timesteps/dropout draws."""
+    cfg, model, params = tiny_model
+    trainable, frozen = split_params(params)
+    nl = jnp.zeros((cfg.unet.sample_size, cfg.unet.sample_size,
+                    cfg.vae.latent_channels))
+    nt = jnp.zeros((77, cfg.text.hidden_size))
+    batch = _batch(cfg, jax.random.PRNGKey(7), B=4)
+    rng = jax.random.PRNGKey(11)
+
+    tcfg = TrainConfig(learning_rate=1e-3, gradient_accumulation_steps=2,
+                       use_ema=False, use_ema_fashion=False)
+    step_fn, init_fn = build_train_step(model, tcfg)
+    state = init_fn(params)
+    _, m_accum = jax.jit(step_fn)(state, batch, nl, nt, rng)
+
+    def micro_loss(i):
+        mb = jax.tree_util.tree_map(
+            lambda x: x[2 * i:2 * i + 2] if x is not None else None, batch
+        )
+        l, _ = difashion_loss(model, trainable, frozen, mb, nl, nt,
+                              jax.random.fold_in(rng, i), TrainConfig())
+        return float(l)
+
+    l0, l1 = micro_loss(0), micro_loss(1)
+    np.testing.assert_allclose(float(m_accum["loss"]), (l0 + l1) / 2.0, rtol=1e-5)
+    # and the microbatch rngs genuinely differ: same DATA through both slots
+    # gives different losses (the pre-fix behavior made them identical)
+    dup = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x[:2], x[:2]]) if x is not None else None, batch
+    )
+    _, m_dup = jax.jit(step_fn)(state, dup, nl, nt, rng)
+    mb0 = jax.tree_util.tree_map(
+        lambda x: x[:2] if x is not None else None, batch
+    )
+    l_shared0, _ = difashion_loss(model, trainable, frozen, mb0, nl, nt,
+                                  jax.random.fold_in(rng, 0), TrainConfig())
+    l_shared1, _ = difashion_loss(model, trainable, frozen, mb0, nl, nt,
+                                  jax.random.fold_in(rng, 1), TrainConfig())
+    assert abs(float(l_shared0) - float(l_shared1)) > 1e-6  # distinct draws
+    np.testing.assert_allclose(
+        float(m_dup["loss"]), (float(l_shared0) + float(l_shared1)) / 2.0,
+        rtol=1e-5,
+    )
+
+
+def test_injected_empty_dict_is_production(tiny_model):
+    """injected={} must behave exactly like injected=None (incl. the
+    MutualEncoder-dropout determinism switch)."""
+    cfg, model, params = tiny_model
+    trainable, frozen = split_params(params)
+    nl = jnp.zeros((cfg.unet.sample_size, cfg.unet.sample_size,
+                    cfg.vae.latent_channels))
+    nt = jnp.zeros((77, cfg.text.hidden_size))
+    batch = _batch(cfg, jax.random.PRNGKey(8), B=2)
+    rng = jax.random.PRNGKey(9)
+    l_none, _ = difashion_loss(model, trainable, frozen, batch, nl, nt, rng,
+                               TrainConfig(), injected=None)
+    l_empty, _ = difashion_loss(model, trainable, frozen, batch, nl, nt, rng,
+                                TrainConfig(), injected={})
+    assert float(l_none) == float(l_empty)

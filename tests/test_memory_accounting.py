@@ -32,6 +32,12 @@ def test_full_size_dp_exceeds_one_chip(full_acc):
     assert full_acc["per_chip_bytes_dp"] > HBM_V5E, format_accounting(full_acc)
 
 
+def test_format_accounting_uses_caller_budget(full_acc):
+    # the header must describe the budget actually gated against, not assume v5e
+    txt = format_accounting(full_acc, hbm_bytes=95 * 2**30)
+    assert "95.00 GiB/chip" in txt and "16" not in txt.splitlines()[0]
+
+
 def test_full_size_zero1_fits_per_chip(full_acc):
     # ZeRO-1 moment/EMA sharding over 8 chips brings the per-chip state under
     # budget with >=2 GiB of activation headroom
