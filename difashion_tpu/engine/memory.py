@@ -26,18 +26,16 @@ def _tree_bytes(tree) -> int:
 
 
 def _tree_bytes_sharded(tree, ndev: int) -> int:
-    """Per-chip bytes under the `place_state_zero1` rule: a leaf is sharded 1/ndev
-    along its largest dim divisible by ndev; leaves with no such dim replicate."""
+    """Per-chip bytes under the `place_state_zero1` rule (shared via
+    `engine.train.zero1_shard_axis` so accounting can't drift from placement)."""
+    from difashion_tpu.engine.train import zero1_shard_axis
+
     total = 0
     for x in jax.tree_util.tree_leaves(tree):
         if not hasattr(x, "size"):
             continue
         b = x.size * jnp.dtype(x.dtype).itemsize
-        if x.ndim >= 1 and x.size > 0 and any(d % ndev == 0 and d > 0
-                                              for d in x.shape):
-            total += b // ndev
-        else:
-            total += b
+        total += b // ndev if zero1_shard_axis(x.shape, ndev) is not None else b
     return total
 
 

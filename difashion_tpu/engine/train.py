@@ -382,6 +382,18 @@ def shard_train_step(train_step, mesh: Mesh):
     return jitted, place_batch, place_replicated
 
 
+def zero1_shard_axis(shape, ndev: int):
+    """The ZeRO-1 sharding rule (single source of truth for `place_state_zero1`
+    and `engine/memory.py`'s accounting): the LARGEST dim divisible by the dp
+    size, or None when the leaf must stay replicated."""
+    if not shape or 0 in shape:
+        return None
+    divisible = [(d, ax) for ax, d in enumerate(shape) if d % ndev == 0]
+    if not divisible:
+        return None
+    return max(divisible)[1]
+
+
 def place_state_zero1(state: TrainState, mesh: Mesh) -> TrainState:
     """ZeRO-1-style placement: params replicated, optimizer moments + EMA sharded over
     'dp' along each leaf's LARGEST dim divisible by the dp size (leaves with no such
@@ -401,13 +413,11 @@ def place_state_zero1(state: TrainState, mesh: Mesh) -> TrainState:
     repl = NamedSharding(mesh, P())
 
     def place(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.size > 0:
-            divisible = [(d, ax) for ax, d in enumerate(x.shape) if d % ndev == 0]
-            if divisible:
-                _, axis = max(divisible)
-                spec = [None] * x.ndim
-                spec[axis] = "dp"
-                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        axis = zero1_shard_axis(getattr(x, "shape", ()), ndev)
+        if axis is not None:
+            spec = [None] * x.ndim
+            spec[axis] = "dp"
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, repl)
 
     params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state.params)
