@@ -17,6 +17,15 @@ def main():
         print(__doc__)
         return 0
     cmd, argv = sys.argv[1], sys.argv[2:]
+    # honor JAX_PLATFORMS=cpu in-process for every CLI: the axon sitecustomize's
+    # remote-TPU backend otherwise wins over the env var (and hangs when the
+    # tunnel is down)
+    import os
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     # persistent executable cache: the 50-step sampler / train step compile in
     # tens of minutes on TPU; restarts reload them in seconds
     from difashion_tpu.core.logging import enable_compile_cache

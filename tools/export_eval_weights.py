@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize override (see export_hf.py)
+
 
 def write_clip_vocab(tok_dir: str, n_merges: int = 200, seed: int = 0) -> None:
     """CLIP-shaped vocab: full byte alphabet + </w> variants + chained merges +

@@ -18,6 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+# honor JAX_PLATFORMS=cpu in-process: the axon sitecustomize's remote-TPU backend
+# wins over the env var alone, and with the tunnel down a hang here wedges any
+# caller (tests spawn this tool as a subprocess)
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
