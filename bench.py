@@ -40,7 +40,37 @@ ESTIMATED_REF_IMAGES_PER_SEC = 0.55
 ESTIMATED_REF_RANGE = (0.37, 0.74)
 
 
+def _require_devices(timeout_s: float = None):
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "900"))
+    """Backend watchdog: with the axon tunnel down, jax.devices() HANGS (it does
+    not raise), which would leave the driver's bench window with no output at
+    all. Probe device init on a thread; on timeout emit a structured error line
+    and exit nonzero so the failure is recorded instead of silent."""
+    import threading
+
+    out = {}
+
+    def probe():
+        out["devices"] = jax.devices()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "outfit_images_per_sec_per_chip_512px_50step_pndm_4cfg",
+            "value": None,
+            "unit": "images/sec/chip",
+            "error": f"TPU backend did not initialize within {timeout_s:.0f}s "
+                     "(axon tunnel down?) — no measurement taken",
+        }))
+        os._exit(3)
+    return out["devices"]
+
+
 def main():
+    _require_devices()
     from difashion_tpu.core.config import ModelConfig
     from difashion_tpu.engine import (
         GenerationInputs,
