@@ -274,6 +274,23 @@ class GenerationPipeline:
         olen = table.outfits.shape[1]
         pad_to = batch_size * (olen if task == "GOR" else 1)
 
+        # run-metadata sidecar (beyond reference): everything needed to
+        # reproduce or audit this run, next to its manifest
+        import dataclasses as _dc
+        import json as _json
+        import time as _time
+
+        with open(run_dir + ".config.json", "w") as f:
+            _json.dump({
+                "task": task,
+                "seed": seed,
+                "batch_size": batch_size,
+                "max_batches": max_batches,
+                "generation": _dc.asdict(g),
+                "n_rows": len(table),
+                "created": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+            }, f, indent=2)
+
         key = jax.random.PRNGKey(seed)
         outputs: dict = {}
         grds: dict = {}

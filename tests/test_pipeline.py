@@ -262,3 +262,18 @@ def test_generation_invariant_to_batch_grouping(pipe, tmp_path):
             # a few uint8 levels (different noise would differ by ~50+).
             assert np.abs(a - b).mean() < 1.0
             assert np.abs(a - b).max() < 16
+
+
+def test_run_metadata_sidecar(pipe, tmp_path):
+    """pipe.run writes <run_dir>.config.json with the reproducibility record."""
+    import json
+
+    cfg, p = pipe
+    table = _table(3)
+    run_dir = p.run(table, "FITB", str(tmp_path), "meta-test", seed=7,
+                    max_batches=1)
+    meta = json.load(open(run_dir + ".config.json"))
+    assert meta["task"] == "FITB" and meta["seed"] == 7
+    assert meta["generation"]["num_inference_steps"] == \
+        cfg.generation.num_inference_steps
+    assert meta["n_rows"] == len(table)
