@@ -268,8 +268,25 @@ class GenerationPipeline:
         if batch_size is None:
             batch_size = g.fitb_batch_size if task == "FITB" else g.gor_batch_size
         run_dir = os.path.join(out_dir, run_name)
+
+        # Idempotent skip + crash-resume. The reference only skips a checkpoint
+        # whose manifest file exists (inf4eval.py:706-708) — a run that died
+        # mid-way would be silently treated as complete. Here a partial manifest
+        # is reloaded and only the missing batches are generated; identity-keyed
+        # noise (prepare_batch folds (uid, oid, slot) into the seed) makes the
+        # resumed run BIT-IDENTICAL to an uninterrupted one.
+        outputs: dict = {}
+        grds: dict = {}
+
+        def row_done(i: int) -> bool:
+            return int(table.oids[i]) in outputs.get(int(table.uids[i]), {})
+
         if os.path.exists(run_dir + ".npy"):
-            return run_dir  # idempotent skip (inf4eval.py:706-708)
+            outputs = np.load(run_dir + ".npy", allow_pickle=True).item()
+            if os.path.exists(run_dir + "_grd.npy"):
+                grds = np.load(run_dir + "_grd.npy", allow_pickle=True).item()
+            if all(row_done(i) for i in range(len(table))):
+                return run_dir   # complete: untouched (mtime preserved)
         os.makedirs(run_dir, exist_ok=True)
         olen = table.outfits.shape[1]
         pad_to = batch_size * (olen if task == "GOR" else 1)
@@ -292,8 +309,6 @@ class GenerationPipeline:
             }, f, indent=2)
 
         key = jax.random.PRNGKey(seed)
-        outputs: dict = {}
-        grds: dict = {}
         n_batches = -(-len(table) // batch_size)
         if max_batches is not None:
             n_batches = min(n_batches, max_batches)
@@ -313,6 +328,8 @@ class GenerationPipeline:
         pending = None
         for bi in range(n_batches):
             sl = slice(bi * batch_size, (bi + 1) * batch_size)
+            if all(row_done(i) for i in range(sl.start, min(sl.stop, len(table)))):
+                continue   # resume: this batch is already in the manifest
             batch = {
                 "uids": table.uids[sl], "oids": table.oids[sl],
                 "outfits": table.outfits[sl], "category": table.category[sl],

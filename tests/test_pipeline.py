@@ -277,3 +277,37 @@ def test_run_metadata_sidecar(pipe, tmp_path):
     assert meta["generation"]["num_inference_steps"] == \
         cfg.generation.num_inference_steps
     assert meta["n_rows"] == len(table)
+
+
+def test_crash_resume_completes_partial_run(pipe, tmp_path):
+    """A partial manifest (e.g. a crashed run) is RESUMED, not skipped: missing
+    batches are generated, finished ones untouched, and the result is
+    bit-identical to an uninterrupted run (identity-keyed noise)."""
+    import time as _t
+
+    cfg, p = pipe
+    table = _table(5)          # fitb_batch_size=3 -> 2 batches
+    # simulate the crash: only the first batch completed
+    d1 = p.run(table, "FITB", str(tmp_path), "FITB-resume", max_batches=1)
+    man = np.load(d1 + ".npy", allow_pickle=True).item()
+    assert sum(len(v) for v in man.values()) == 3
+    first_img = next(iter(next(iter(man.values())).values()))["image_paths"][0]
+    mtime = os.path.getmtime(first_img)
+
+    _t.sleep(1.01)             # mtime resolution guard
+    d2 = p.run(table, "FITB", str(tmp_path), "FITB-resume")
+    assert d2 == d1
+    man2 = np.load(d2 + ".npy", allow_pickle=True).item()
+    assert sum(len(v) for v in man2.values()) == 5
+    assert os.path.getmtime(first_img) == mtime   # batch 1 not regenerated
+
+    # bit-identical to an uninterrupted run
+    d3 = p.run(table, "FITB", str(tmp_path / "fresh"), "FITB-resume")
+    man3 = np.load(d3 + ".npy", allow_pickle=True).item()
+    for uid, by_oid in man3.items():
+        for oid, rec in by_oid.items():
+            for p_new, p_res in zip(rec["image_paths"],
+                                    man2[uid][oid]["image_paths"]):
+                a = open(p_new, "rb").read()
+                b = open(p_res, "rb").read()
+                assert a == b, (p_new, p_res)
