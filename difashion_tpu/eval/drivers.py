@@ -95,7 +95,11 @@ class _ResultSink:
 
     def put(self, metric: str, value) -> None:
         self.all[self.run][metric] = value
-        np.save(self.path, np.array(self.all, dtype=object))
+        # atomic replace: a SIGKILL mid-np.save on the shared results file would
+        # otherwise corrupt EVERY previously saved metric of every run
+        tmp = self.path + ".tmp.npy"
+        np.save(tmp, np.array(self.all, dtype=object))
+        os.replace(tmp, self.path)
 
     def results(self) -> dict:
         return self.all[self.run]
@@ -115,6 +119,8 @@ def stream_image_features(
     (iFashion test = 1,988 oids) as fp32 host arrays would be many GB.
 
     `want` ⊆ {"fid", "probs", "clip"} -> {name: [n, ...] features}."""
+    if not want:
+        return {}   # fully-cached runs must not re-decode the manifest
     chunk = chunk or max(X.batch_size, 1)
     acc: Dict[str, list] = {k: [] for k in want}
     for s in range(0, n, chunk):
@@ -186,9 +192,19 @@ def evaluate_fitb(
         grd_iids.append(int(np.asarray(g["outfits"])[idx]))
     grd_loader = lambda k: ctx.item_image_loader(grd_iids[k])
 
-    need_gen_clip = any(not sink.has(m) for m in (
-        "clip_score", "clip_retrieval_acc", "clip_image_score", "personal_sim",
-        "compatibility",
+    # a metric is "needed" only if missing from the sink AND computable with the
+    # inputs provided — otherwise the CLIP tower would re-run over the full
+    # manifest on every re-invocation for a metric that can never be written
+    can_retrieval = (ctx.retrieval_candidates is not None
+                     and ctx.cnn_features_clip is not None)
+    can_personal = ctx.history_clipembs is not None
+    can_compat = ctx.cnn_features_clip is not None
+    need_gen_clip = any(not sink.has(m) and ok for m, ok in (
+        ("clip_score", True),
+        ("clip_retrieval_acc", can_retrieval),
+        ("clip_image_score", True),
+        ("personal_sim", can_personal),
+        ("compatibility", can_compat),
     ))
     gen_want = [w for w, need in (
         ("fid", not sink.has("fid")),
@@ -209,14 +225,14 @@ def evaluate_fitb(
         labels = np.asarray([ctx.label_of(c) for c in cates])
         sink.put("is", inception_metrics(gf["probs"], labels))
 
-    prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
-    txt_emb = X.clip_text_embs(prompts)
-
-    if not sink.has("clip_score"):
-        sink.put("clip_score", clip_score(gen_emb, txt_emb))
-    if not sink.has("grd_clip_score"):
-        sink.put("grd_clip_score", clip_score(rf["clip"], txt_emb))
-    if not sink.has("clip_retrieval_acc") and ctx.retrieval_candidates is not None:
+    if not sink.has("clip_score") or not sink.has("grd_clip_score"):
+        prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
+        txt_emb = X.clip_text_embs(prompts)
+        if not sink.has("clip_score"):
+            sink.put("clip_score", clip_score(gen_emb, txt_emb))
+        if not sink.has("grd_clip_score"):
+            sink.put("grd_clip_score", clip_score(rf["clip"], txt_emb))
+    if not sink.has("clip_retrieval_acc") and can_retrieval:
         cand = np.stack([
             np.asarray(ctx.retrieval_candidates[u][o], np.int64)
             for u, o in zip(uids, oids)
@@ -228,26 +244,37 @@ def evaluate_fitb(
         sink.put("clip_image_score", clip_image_score(gen_emb, rf["clip"]))
     if not sink.has("lpips"):
         sink.put("lpips", float(np.mean(stream_lpips(X, gen_loader, grd_loader, N))))
-    if not sink.has("personal_sim"):
+    if not sink.has("personal_sim") and can_personal:
         hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
         sink.put("personal_sim", personalization_sim(gen_emb, hist))
-    if not sink.has("compatibility") and ctx.cnn_features_clip is not None:
-        # generated slot -> negative pointer into gen_emb (eval_utils.py:575-584)
-        out_rows, grd_rows = [], []
-        for k, row in enumerate(outfit_rows):
-            r = row.copy()
-            r[np.asarray(row) == 0] = -k
-            out_rows.append(r)
-            g = grd_dict[oids[k]]
-            grd_rows.append(np.asarray(g["outfits"]))
-        feats = gather_outfit_feats(
-            np.stack(out_rows), ctx.cnn_features_clip, gen_emb
-        )
-        grd_feats = gather_outfit_feats(
-            np.stack(grd_rows), ctx.cnn_features_clip, None
-        )
-        sink.put("compatibility", float(np.mean(X.compat_scores(feats))))
-        sink.put("grd_compatibility", float(np.mean(X.compat_scores(grd_feats))))
+    need_c = not sink.has("compatibility")
+    need_g = not sink.has("grd_compatibility")
+    if (need_c or need_g) and can_compat:
+        # generated slot -> negative pointer into gen_emb (eval_utils.py:575-584).
+        # One row per (uid, oid): each blank gets its OWN image's pointer (image
+        # order within an outfit matches slot order in the manifest), so outfits
+        # with several blanks — legal in our pipeline even though the reference's
+        # FITB always has exactly one — score the full generated set instead of
+        # one image duplicated across every blank.
+        out_rows, grd_rows, k = [], [], 0
+        for uid, by_oid in manifest.items():
+            for oid, rec in by_oid.items():
+                row = np.asarray(rec["outfits"]).copy()
+                nblank = int((row == 0).sum())
+                row[row == 0] = -np.arange(k, k + nblank, dtype=row.dtype)
+                k += nblank
+                out_rows.append(row)
+                grd_rows.append(np.asarray(grd_dict[oid]["outfits"]))
+        if need_c:
+            feats = gather_outfit_feats(
+                np.stack(out_rows), ctx.cnn_features_clip, gen_emb
+            )
+            sink.put("compatibility", float(np.mean(X.compat_scores(feats))))
+        if need_g:
+            grd_feats = gather_outfit_feats(
+                np.stack(grd_rows), ctx.cnn_features_clip, None
+            )
+            sink.put("grd_compatibility", float(np.mean(X.compat_scores(grd_feats))))
     return sink.results()
 
 
@@ -274,8 +301,12 @@ def evaluate_gor(
         grd_item_iids.extend(int(i) for i in grd_dict[oid]["outfits"])
     grd_loader = lambda k: ctx.item_image_loader(grd_item_iids[k])
 
-    need_gen_clip = any(not sink.has(m) for m in (
-        "clip_score", "personal_sim", "compatibility",
+    can_personal = ctx.history_clipembs is not None
+    can_compat = ctx.cnn_features_clip is not None
+    need_gen_clip = any(not sink.has(m) and ok for m, ok in (
+        ("clip_score", True),
+        ("personal_sim", can_personal),
+        ("compatibility", can_compat),
     ))
     gen_want = [w for w, need in (
         ("fid", not sink.has("fid")),
@@ -292,8 +323,8 @@ def evaluate_gor(
         labels = np.asarray([ctx.label_of(c) for c in cates])
         sink.put("is", inception_metrics(gf["probs"], labels))
 
-    prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
     if not sink.has("clip_score"):
+        prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
         sink.put("clip_score", clip_score(gen_emb, X.clip_text_embs(prompts)))
 
     # outfit-level merged grids (streamed: one grid pair resident per index)
@@ -332,24 +363,29 @@ def evaluate_gor(
                 stream_lpips(X, grid_gen_loader, grid_grd_loader, n_outfits)
             )))
 
-    if not sink.has("personal_sim"):
+    if not sink.has("personal_sim") and can_personal:
         hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
         sink.put("personal_sim", personalization_sim(gen_emb, hist))
 
-    if not sink.has("compatibility") and ctx.cnn_features_clip is not None:
+    need_c = not sink.has("compatibility")
+    need_g = not sink.has("grd_compatibility")
+    if (need_c or need_g) and can_compat:
         rows, grd_rows, k = [], [], 0
         for uid, by_oid in manifest.items():
             for oid, rec in by_oid.items():
-                n = len(rec["image_paths"])
-                rows.append(-np.arange(k, k + n, dtype=np.int64))
-                k += n
+                nimg = len(rec["image_paths"])
+                rows.append(-np.arange(k, k + nimg, dtype=np.int64))
+                k += nimg
                 grd_rows.append(np.asarray(grd_dict[oid]["outfits"]))
-        feats = gather_outfit_feats(np.stack(rows), ctx.cnn_features_clip, gen_emb)
-        grd_feats = gather_outfit_feats(
-            np.stack(grd_rows), ctx.cnn_features_clip, None
-        )
-        sink.put("compatibility", float(np.mean(X.compat_scores(feats))))
-        sink.put("grd_compatibility", float(np.mean(X.compat_scores(grd_feats))))
+        if need_c:
+            feats = gather_outfit_feats(np.stack(rows), ctx.cnn_features_clip,
+                                        gen_emb)
+            sink.put("compatibility", float(np.mean(X.compat_scores(feats))))
+        if need_g:
+            grd_feats = gather_outfit_feats(
+                np.stack(grd_rows), ctx.cnn_features_clip, None
+            )
+            sink.put("grd_compatibility", float(np.mean(X.compat_scores(grd_feats))))
     return sink.results()
 
 
@@ -370,6 +406,11 @@ def evaluate_grounding_fitb(
     sink = _ResultSink(out_path, run_name)
     X = ctx.extractors
 
+    metrics = ("retrieval_acc", "clip_score", "clip_image_score", "lpips",
+               "personal_sim", "compatibility")
+    if all(sink.has(m) for m in metrics):
+        return sink.results()   # resume: nothing left, skip every stream
+
     uids, oids, cates, outfit_rows, paths = _flatten_fitb_manifest(manifest)
     N = len(paths)
     gen_loader = lambda k: load_image01(paths[k], ctx.img_size)
@@ -386,31 +427,40 @@ def evaluate_grounding_fitb(
         sink.put("retrieval_acc", acc)
 
     ret_loader = lambda k: ctx.item_image_loader(int(retrieved[k]))
-    ret_emb = stream_image_features(X, ret_loader, N, ("clip",))["clip"]
+    need_ret_emb = any(not sink.has(m) for m in
+                       ("clip_score", "clip_image_score", "personal_sim"))
+    ret_emb = (stream_image_features(X, ret_loader, N, ("clip",))["clip"]
+               if need_ret_emb else None)
     grd_iids = []
     for oid, c in zip(oids, cates):
         g = grd_dict[oid]
         idx = int(np.where(np.asarray(g["category"]) == c)[0][0])
         grd_iids.append(int(np.asarray(g["outfits"])[idx]))
     grd_loader = lambda k: ctx.item_image_loader(grd_iids[k])
-    grd_emb = stream_image_features(X, grd_loader, N, ("clip",))["clip"]
+    grd_emb = (stream_image_features(X, grd_loader, N, ("clip",))["clip"]
+               if not sink.has("clip_image_score") else None)
 
-    prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
     if not sink.has("clip_score"):
+        prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
         sink.put("clip_score", clip_score(ret_emb, X.clip_text_embs(prompts)))
     if not sink.has("clip_image_score"):
         sink.put("clip_image_score", clip_image_score(ret_emb, grd_emb))
     if not sink.has("lpips"):
         sink.put("lpips", float(np.mean(stream_lpips(X, ret_loader, grd_loader, N))))
-    if not sink.has("personal_sim"):
+    if not sink.has("personal_sim") and ctx.history_clipembs is not None:
         hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
         sink.put("personal_sim", personalization_sim(ret_emb, hist))
     if not sink.has("compatibility"):
-        rows = []
-        for k, row in enumerate(outfit_rows):
-            r = np.asarray(row).copy()
-            r[r == 0] = retrieved[k]    # grounded: real retrieved item fills the blank
-            rows.append(r)
+        # one row per (uid, oid); each blank gets its own image's retrieved item
+        # (multi-blank outfits — see the evaluate_fitb compat note)
+        rows, k = [], 0
+        for uid, by_oid in manifest.items():
+            for oid, rec in by_oid.items():
+                row = np.asarray(rec["outfits"]).copy()
+                nblank = int((row == 0).sum())
+                row[row == 0] = retrieved[k:k + nblank]
+                k += nblank
+                rows.append(row)
         feats = gather_outfit_feats(np.stack(rows), ctx.cnn_features_clip, None)
         sink.put("compatibility", float(np.mean(X.compat_scores(feats))))
     return sink.results()
@@ -434,6 +484,11 @@ def evaluate_grounding_gor(
     sink = _ResultSink(out_path, run_name)
     X = ctx.extractors
 
+    metrics = tuple(f"recall@{N}" for N in topN) + (
+        "clip_score", "personal_sim", "compatibility")
+    if all(sink.has(m) for m in metrics):
+        return sink.results()   # resume: nothing left, skip every stream
+
     uids, oids, cates, _, paths = _flatten_fitb_manifest(manifest)
     n = len(paths)
     gen_loader = lambda k: load_image01(paths[k], ctx.img_size)
@@ -455,20 +510,22 @@ def evaluate_grounding_gor(
             sink.put(f"recall@{N}", r)
 
     ret_loader = lambda k: ctx.item_image_loader(int(preds[k]))
-    ret_emb = stream_image_features(X, ret_loader, n, ("clip",))["clip"]
-    prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
+    need_ret_emb = any(not sink.has(m) for m in ("clip_score", "personal_sim"))
+    ret_emb = (stream_image_features(X, ret_loader, n, ("clip",))["clip"]
+               if need_ret_emb else None)
     if not sink.has("clip_score"):
+        prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
         sink.put("clip_score", clip_score(ret_emb, X.clip_text_embs(prompts)))
-    if not sink.has("personal_sim"):
+    if not sink.has("personal_sim") and ctx.history_clipembs is not None:
         hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
         sink.put("personal_sim", personalization_sim(ret_emb, hist))
     if not sink.has("compatibility"):
         rows, k = [], 0
         for uid, by_oid in manifest.items():
             for oid, rec in by_oid.items():
-                n = len(rec["image_paths"])
-                rows.append(preds[k:k + n])
-                k += n
+                nimg = len(rec["image_paths"])
+                rows.append(preds[k:k + nimg])
+                k += nimg
         feats = gather_outfit_feats(
             np.stack(rows).astype(np.int64), ctx.cnn_features_clip, None
         )

@@ -125,3 +125,83 @@ def test_grounding_gor(ctx, tmp_path):
                 "personal_sim", "compatibility"):
         assert key in res, key
     assert res["recall@1"] <= res["recall@5"] <= res["recall@10"]
+
+
+@pytest.mark.slow
+def test_multiblank_fitb_compat_uses_each_images_pointer(ctx, tmp_path, monkeypatch):
+    """An outfit with TWO generated slots must score a compat row containing BOTH
+    generated-image pointers (the old per-image fill duplicated one image across
+    every blank)."""
+    import difashion_tpu.eval.drivers as drv
+    from difashion_tpu.engine.pipeline import save_jpeg
+
+    rng = np.random.RandomState(3)
+    run = os.path.join(str(tmp_path), "FITB-multiblank")
+    paths = []
+    for j in range(2):
+        p = os.path.join(run, "images", "1", "100", f"{j}.jpg")
+        save_jpeg((rng.rand(IMG, IMG, 3) * 255).astype(np.uint8), p)
+        paths.append(p)
+    man = {1: {100: {
+        "cates": [1, 2], "full_cates": np.asarray([1, 2, 3, 4]),
+        "outfits": np.asarray([0, 0, 5, 6]), "image_paths": paths,
+    }}}
+    np.save(run + ".npy", np.array(man, dtype=object))
+    grd = {100: {"outfits": [7, 8, 5, 6], "category": [1, 2, 3, 4]}}
+
+    captured = {}
+    real_gather = drv.gather_outfit_feats
+
+    def spy(outfits, cnn, gen):
+        if gen is not None:                      # the generated-rows gather
+            captured["rows"] = np.asarray(outfits)
+        return real_gather(outfits, cnn, gen)
+
+    monkeypatch.setattr(drv, "gather_outfit_feats", spy)
+    ctx.retrieval_candidates = None
+    res = evaluate_fitb(run, ctx, grd,
+                        out_path=os.path.join(str(tmp_path), "res.npy"))
+    rows = captured["rows"]
+    assert rows.shape == (1, 4)
+    # both generated pointers present (0 -> gen_emb[0], -1 -> gen_emb[1]), distinct
+    assert set(rows[0][:2].tolist()) == {0, -1}, rows
+    assert np.isfinite(res["compatibility"])
+
+
+@pytest.mark.slow
+def test_cached_run_does_not_restream(ctx, tmp_path):
+    """Second invocation over a fully-evaluated run must not re-decode a single
+    image (stream early-out + availability-aware want lists + grounding gating)."""
+    run, grd, cands = _make_manifest(tmp_path, "FITB")
+    ctx.retrieval_candidates = cands
+    out = os.path.join(str(tmp_path), "res.npy")
+    evaluate_fitb(run, ctx, grd, out_path=out)
+    gout = os.path.join(str(tmp_path), "res_g.npy")
+    evaluate_grounding_fitb(run, ctx, grd, out_path=gout)
+
+    calls = {"n": 0}
+    real_loader = ctx.item_image_loader
+
+    def counting_loader(i):
+        calls["n"] += 1
+        return real_loader(i)
+
+    ctx.item_image_loader = counting_loader
+    try:
+        res2 = evaluate_fitb(run, ctx, grd, out_path=out)
+        res3 = evaluate_grounding_fitb(run, ctx, grd, out_path=gout)
+    finally:
+        ctx.item_image_loader = real_loader
+    assert calls["n"] == 0, f"cached rerun loaded {calls['n']} images"
+    assert np.isfinite(res2["fid"]) and np.isfinite(res3["retrieval_acc"])
+
+
+def test_result_sink_atomic_write(tmp_path):
+    from difashion_tpu.eval.drivers import _ResultSink
+
+    out = os.path.join(str(tmp_path), "eval_results.npy")
+    sink = _ResultSink(out, "run-a")
+    sink.put("fid", 1.25)
+    assert not os.path.exists(out + ".tmp.npy")   # replaced, not left behind
+    again = _ResultSink(out, "run-a")
+    assert again.results()["fid"] == 1.25
