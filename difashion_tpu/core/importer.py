@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -26,17 +26,38 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a .safetensors or torch .bin/.pt state dict into numpy."""
+    """Load a .safetensors or torch .bin/.pt state dict into numpy. Handles the
+    common {'state_dict': ...} wrapper and bf16 tensors (numpy has no bfloat16,
+    so those upcast to fp32)."""
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         return dict(load_file(path))
+    if path.endswith(".safetensors.index.json"):
+        # sharded checkpoint: merge every shard named by the weight map
+        import json
+
+        from safetensors.numpy import load_file
+
+        d = os.path.dirname(path)
+        shards = sorted(set(json.load(open(path))["weight_map"].values()))
+        sd: Dict[str, np.ndarray] = {}
+        for s in shards:
+            sd.update(load_file(os.path.join(d, s)))
+        return sd
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    return {k: v.numpy() for k, v in sd.items()}
+    if isinstance(sd, dict) and "state_dict" in sd and isinstance(
+            sd["state_dict"], dict):
+        sd = sd["state_dict"]
+
+    def to_np(v):
+        if v.dtype == torch.bfloat16:
+            v = v.float()
+        return v.numpy()
+
+    return {k: to_np(v) for k, v in sd.items() if torch.is_tensor(v)}
 
 
 def find_weights_file(model_dir: str, subfolder: str) -> str:
@@ -46,10 +67,20 @@ def find_weights_file(model_dir: str, subfolder: str) -> str:
         "model.safetensors",
         "diffusion_pytorch_model.bin",
         "pytorch_model.bin",
+        # fp16-variant downloads (diffusers variant="fp16")
+        "diffusion_pytorch_model.fp16.safetensors",
+        "model.fp16.safetensors",
+        "diffusion_pytorch_model.fp16.bin",
+        "pytorch_model.fp16.bin",
     ):
         p = os.path.join(d, name)
         if os.path.exists(p):
             return p
+    import glob as _glob
+
+    idx = sorted(_glob.glob(os.path.join(d, "*.safetensors.index.json")))
+    if idx:
+        return idx[0]   # sharded checkpoint; load_state_dict merges the shards
     raise FileNotFoundError(f"no weights file under {d}")
 
 
@@ -144,9 +175,20 @@ def _to_hf(value: np.ndarray, leaf: str) -> np.ndarray:
     return value
 
 
-def _mutual_latent_dims(flat_dim: int) -> Tuple[int, int]:
-    """(C, S) for a MutualEncoder flat latent dim C*S*S. The VAE latent channel count
-    is 4 across the whole SD family (reference `difashion.py:360`), so S follows."""
+def _mutual_latent_dims(flat_dim: int,
+                        dims: Optional[Tuple[int, int]] = None) -> Tuple[int, int]:
+    """(C, S) for a MutualEncoder flat latent dim C*S*S. Pass `dims` from the
+    model config when available — the factorization is AMBIGUOUS from flat_dim
+    alone (4*64*64 == 16*32*32), and guessing wrong silently permutes the MLP
+    weights. The fallback assumes the SD-family constant C=4
+    (reference `difashion.py:360`)."""
+    if dims is not None:
+        c, s = dims
+        if c * s * s != flat_dim:
+            raise ValueError(
+                f"mutual dims {dims} inconsistent with flat dim {flat_dim}"
+            )
+        return c, s
     c = 4
     s = int(round((flat_dim / c) ** 0.5))
     if c * s * s != flat_dim:
@@ -154,42 +196,46 @@ def _mutual_latent_dims(flat_dim: int) -> Tuple[int, int]:
     return c, s
 
 
-def _mutual_kernel_to_flax(value: np.ndarray, seg: str) -> np.ndarray:
+def _mutual_kernel_to_flax(value: np.ndarray, seg: str,
+                           dims: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """Torch MutualEncoder flattens latents in NCHW order (`difashion.py:41`,
     `view(bsz, -1)` on [B,C,H,W]); our flax module flattens NHWC. Re-order the
     flattened axis of the two Linear kernels accordingly."""
     if seg == "mlp_0":           # torch weight [hid, C*S*S] -> flax kernel [S*S*C, hid]
         hid, flat = value.shape
-        c, s = _mutual_latent_dims(flat)
+        c, s = _mutual_latent_dims(flat, dims)
         return value.reshape(hid, c, s, s).transpose(0, 2, 3, 1).reshape(hid, flat).T
     if seg == "mlp_3":           # torch weight [C*S*S, hid] -> flax kernel [hid, S*S*C]
         flat, hid = value.shape
-        c, s = _mutual_latent_dims(flat)
+        c, s = _mutual_latent_dims(flat, dims)
         return value.reshape(c, s, s, hid).transpose(1, 2, 0, 3).reshape(flat, hid).T
     raise KeyError(seg)
 
 
-def _mutual_kernel_to_hf(value: np.ndarray, seg: str) -> np.ndarray:
+def _mutual_kernel_to_hf(value: np.ndarray, seg: str,
+                         dims: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """Inverse of `_mutual_kernel_to_flax`."""
     if seg == "mlp_0":           # flax kernel [S*S*C, hid] -> torch weight [hid, C*S*S]
         flat, hid = value.shape
-        c, s = _mutual_latent_dims(flat)
+        c, s = _mutual_latent_dims(flat, dims)
         return value.T.reshape(hid, s, s, c).transpose(0, 3, 1, 2).reshape(hid, flat)
     if seg == "mlp_3":           # flax kernel [hid, S*S*C] -> torch weight [C*S*S, hid]
         hid, flat = value.shape
-        c, s = _mutual_latent_dims(flat)
+        c, s = _mutual_latent_dims(flat, dims)
         return value.T.reshape(s, s, c, hid).transpose(2, 0, 1, 3).reshape(flat, hid)
     raise KeyError(seg)
 
 
-def _mutual_bias_to_flax(value: np.ndarray) -> np.ndarray:
+def _mutual_bias_to_flax(value: np.ndarray,
+                         dims: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """mlp_3 bias lives in the flattened latent space: CHW order -> HWC order."""
-    c, s = _mutual_latent_dims(value.shape[0])
+    c, s = _mutual_latent_dims(value.shape[0], dims)
     return value.reshape(c, s, s).transpose(1, 2, 0).reshape(-1)
 
 
-def _mutual_bias_to_hf(value: np.ndarray) -> np.ndarray:
-    c, s = _mutual_latent_dims(value.shape[0])
+def _mutual_bias_to_hf(value: np.ndarray,
+                       dims: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    c, s = _mutual_latent_dims(value.shape[0], dims)
     return value.reshape(s, s, c).transpose(2, 0, 1).reshape(-1)
 
 
@@ -200,8 +246,12 @@ _VAE_ATTN_ALIASES = {
 
 
 def import_params(template, state_dict: Dict[str, np.ndarray], kind: str,
-                  strict: bool = True):
-    """Fill a flax param tree (template gives structure/shapes) from an HF state dict."""
+                  strict: bool = True,
+                  mutual_dims: Optional[Tuple[int, int]] = None):
+    """Fill a flax param tree (template gives structure/shapes) from an HF state
+    dict. For kind='mutual', pass `mutual_dims=(latent_channels, latent_size)`
+    from the model config — the NCHW->NHWC re-ordering cannot infer them from
+    the flat dim alone (see `_mutual_latent_dims`)."""
     import jax.tree_util as jtu
 
     flat = jtu.tree_flatten_with_path(template)[0]
@@ -213,7 +263,6 @@ def import_params(template, state_dict: Dict[str, np.ndarray], kind: str,
         leaf = path[-1]
         if kind == "mutual" and path[0] == "category_embedding":
             key = "category_embedding.weight"
-            path_for_key = None
         else:
             key = flax_path_to_hf_key(path, kind)
         value = state_dict.get(key)
@@ -234,17 +283,20 @@ def import_params(template, state_dict: Dict[str, np.ndarray], kind: str,
         used.add(key)
         value = np.asarray(value)
         if kind == "mutual" and path[0] in ("mlp_0", "mlp_3") and leaf == "kernel":
-            value = _mutual_kernel_to_flax(value, path[0])
+            value = _mutual_kernel_to_flax(value, path[0], mutual_dims)
         elif kind == "mutual" and path[0] == "mlp_3" and leaf == "bias":
-            value = _mutual_bias_to_flax(value)
+            value = _mutual_bias_to_flax(value, mutual_dims)
         else:
             value = _to_flax(value, leaf)
         expect = np.shape(leaf_val)
         if value.shape != expect:
             # conv_in 4->8 channel extension (difashion.py:82-93): zero-init new
-            # input channels, copy pretrained into the first four.
+            # input channels, copy pretrained into the first four. ONLY the
+            # UNet's conv_in — anywhere else a channel mismatch is a wrong
+            # checkpoint and must raise, not silently zero-pad.
             if (
-                leaf == "kernel" and value.ndim == 4
+                kind == "unet" and path[0] == "conv_in"
+                and leaf == "kernel" and value.ndim == 4
                 and value.shape[:2] == expect[:2]
                 and value.shape[3] == expect[3]
                 and value.shape[2] < expect[2]
@@ -260,6 +312,21 @@ def import_params(template, state_dict: Dict[str, np.ndarray], kind: str,
         out["/".join(path)] = value.astype(np.float32)
     if missing and strict:
         raise KeyError(f"{len(missing)} keys missing, e.g. {missing[:5]}")
+    unconsumed = [
+        k for k in state_dict.keys() - used
+        # known benign extras in HF checkpoints
+        if not k.endswith("position_ids") and "num_batches_tracked" not in k
+    ]
+    if unconsumed:
+        # loud warning, not an error: real checkpoints legitimately carry extras
+        # (EMA copies, processor state), but silence would hide naming drift
+        import logging
+
+        logging.getLogger("difashion_tpu").warning(
+            "%d state-dict keys not consumed by any %s parameter "
+            "(naming drift or extras?), e.g. %s",
+            len(unconsumed), kind, sorted(unconsumed)[:5],
+        )
     # rebuild the tree
     def rebuild(tree, prefix=()):
         if isinstance(tree, dict):
@@ -269,8 +336,12 @@ def import_params(template, state_dict: Dict[str, np.ndarray], kind: str,
     return rebuild(template), missing
 
 
-def export_params(params, kind: str) -> Dict[str, np.ndarray]:
-    """flax params -> HF-style state dict (inverse of import_params)."""
+def export_params(params, kind: str,
+                  mutual_dims: Optional[Tuple[int, int]] = None
+                  ) -> Dict[str, np.ndarray]:
+    """flax params -> HF-style state dict (inverse of import_params). For
+    kind='mutual', pass `mutual_dims=(latent_channels, latent_size)` from the
+    model config (see `_mutual_latent_dims`)."""
     import jax.tree_util as jtu
 
     sd = {}
@@ -282,9 +353,9 @@ def export_params(params, kind: str) -> Dict[str, np.ndarray]:
             key = flax_path_to_hf_key(path, kind)
         value = np.asarray(leaf_val)
         if kind == "mutual" and path[0] in ("mlp_0", "mlp_3") and path[-1] == "kernel":
-            value = _mutual_kernel_to_hf(value, path[0])
+            value = _mutual_kernel_to_hf(value, path[0], mutual_dims)
         elif kind == "mutual" and path[0] == "mlp_3" and path[-1] == "bias":
-            value = _mutual_bias_to_hf(value)
+            value = _mutual_bias_to_hf(value, mutual_dims)
         else:
             value = _to_hf(value, path[-1])
         sd[key] = value
@@ -302,6 +373,5 @@ def import_sd_checkpoint(model_dir: str, params, strict: bool = True):
     new = dict(params)
     for kind, sub in (("unet", "unet"), ("vae", "vae"), ("text", "text_encoder")):
         sd = load_state_dict(find_weights_file(model_dir, sub))
-        key = "unet" if kind == "unet" else ("vae" if kind == "vae" else "text_encoder")
-        new[key], _ = import_params(params[key], sd, kind, strict=strict)
+        new[sub], _ = import_params(params[sub], sd, kind, strict=strict)
     return new

@@ -375,3 +375,82 @@ def test_metric_logger_log_image(tmp_path):
     # the JSONL records the event without pixels
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert any(l.get("image") == "samples/grid" for l in lines)
+
+
+def test_conv_extension_only_for_unet_conv_in(tiny):
+    """A channel-narrow conv kernel anywhere EXCEPT the UNet conv_in must raise,
+    not silently zero-pad (wrong-checkpoint detection)."""
+    from difashion_tpu.models.vae import init_vae as _init_vae
+
+    _, vparams = init_vae(tiny.vae, jax.random.PRNGKey(6))
+    sd = export_params(vparams, "vae")
+    # narrow the VAE encoder conv_in's input channels in the state dict
+    k = "encoder.conv_in.weight"
+    assert k in sd and sd[k].ndim == 4
+    sd[k] = sd[k][:, :-1]           # OIHW: drop one input channel
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_params(vparams, sd, "vae", strict=True)
+
+    # ...while the UNet conv_in extension still works (4 -> in_channels)
+    _, uparams = init_unet(tiny.unet, jax.random.PRNGKey(7))
+    usd = export_params(uparams, "unet")
+    uk = "conv_in.weight"
+    narrow = tiny.unet.in_channels // 2
+    usd[uk] = usd[uk][:, :narrow]
+    restored, _ = import_params(uparams, usd, "unet", strict=True)
+    got = np.asarray(restored["conv_in"]["Conv_0"]["kernel"])
+    assert got.shape[2] == tiny.unet.in_channels
+    assert (got[:, :, narrow:, :] == 0).all()
+
+
+def test_mutual_dims_disambiguate_channel_count(tiny):
+    """flat = C*S*S is ambiguous (16*4*4 == 4*8*8): explicit mutual_dims must
+    round-trip exactly where the C=4 fallback would silently permute weights."""
+    import dataclasses
+
+    from difashion_tpu.core.config import MutualEncoderConfig
+
+    mcfg = dataclasses.replace(tiny.mutual, latent_channels=16, latent_size=4)
+    _, params = init_mutual_encoder(mcfg, jax.random.PRNGKey(8))
+    dims = (mcfg.latent_channels, mcfg.latent_size)
+    sd = export_params(params, "mutual", mutual_dims=dims)
+    restored, _ = import_params(params, sd, "mutual", mutual_dims=dims)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the C=4 fallback accepts the flat dim but scrambles the order
+    wrong, _ = import_params(params, sd, "mutual")
+    k_true = np.asarray(restored["mlp_0"]["kernel"])
+    k_wrong = np.asarray(wrong["mlp_0"]["kernel"])
+    assert not np.array_equal(k_true, k_wrong)
+
+
+def test_load_state_dict_sharded_and_wrapped(tmp_path, tiny):
+    """Sharded safetensors (index.json) merge; torch {'state_dict': ...} wrappers
+    and bf16 tensors load."""
+    import json
+
+    import torch
+    from safetensors.numpy import save_file
+
+    from difashion_tpu.core.importer import find_weights_file, load_state_dict
+
+    d = tmp_path / "unet"
+    os.makedirs(d)
+    a = {"w1": np.ones((2, 2), np.float32)}
+    b = {"w2": np.zeros((3,), np.float32)}
+    save_file(a, str(d / "model-00001-of-00002.safetensors"))
+    save_file(b, str(d / "model-00002-of-00002.safetensors"))
+    idx = {"weight_map": {"w1": "model-00001-of-00002.safetensors",
+                          "w2": "model-00002-of-00002.safetensors"}}
+    json.dump(idx, open(d / "model.safetensors.index.json", "w"))
+    p = find_weights_file(str(tmp_path), "unet")
+    sd = load_state_dict(p)
+    assert set(sd) == {"w1", "w2"}
+
+    # torch wrapper + bf16
+    tp = str(tmp_path / "wrapped.pt")
+    torch.save({"state_dict": {"x": torch.ones(2, dtype=torch.bfloat16)},
+                "epoch": 3}, tp)
+    sd2 = load_state_dict(tp)
+    assert set(sd2) == {"x"} and sd2["x"].dtype == np.float32

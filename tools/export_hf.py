@@ -52,8 +52,10 @@ def main(argv=None):
     towers = [("unet", "unet"), ("fashion_encoder", "mutual")]
     if args.include_frozen:
         towers += [("vae", "vae"), ("text_encoder", "text")]
+    mdims = (cfg.model.mutual.latent_channels, cfg.model.mutual.latent_size)
     for key, kind in towers:
-        sd = export_params(jax.device_get(params[key]), kind)
+        sd = export_params(jax.device_get(params[key]), kind,
+                           mutual_dims=mdims if kind == "mutual" else None)
         sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
         d = os.path.join(args.out, key)
         os.makedirs(d, exist_ok=True)
