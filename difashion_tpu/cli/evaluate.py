@@ -63,6 +63,23 @@ def main(argv=None):
 
     log = setup_logging()
     data = FashionData.load(args.data_path)
+
+    # ---- upfront precondition checks: fail BEFORE the multi-GB backbone loads
+    # and manifest-wide feature extraction, not hours into the cascade ----------
+    if args.image_paths_npy is None or args.img_folder_path is None:
+        raise SystemExit("--image_paths_npy AND --img_folder_path are required: "
+                         "every cascade scores against ground-truth item images")
+    if args.grounding:
+        if args.cnn_features_npy is None:
+            raise SystemExit("--grounding requires --cnn_features_npy (catalog "
+                             "CLIP features are the retrieval index)")
+        if args.task == "FITB" and data.retrieval_candidates.get(args.mode) is None:
+            raise SystemExit(f"--grounding FITB requires retrieval candidates for "
+                             f"mode={args.mode} in the dataset")
+        if args.task == "GOR" and data.cate_iid_dict is None:
+            raise SystemExit("--grounding GOR requires map/cate_iid_dict.npy "
+                             "(per-category candidate pools)")
+
     X = build_extractors(args.weights_dir, batch_size=args.batch_size,
                          tiny=args.tiny,
                          allow_random=args.allow_random_weights)
@@ -79,11 +96,8 @@ def main(argv=None):
     def item_loader(iid: int):
         from difashion_tpu.eval.drivers import load_image01
 
-        if image_paths is None:
-            raise SystemExit("--image_paths_npy and --img_folder_path required "
-                             "for image-based metrics")
         return load_image01(
-            os.path.join(args.img_folder_path or "", str(image_paths[iid])), 512
+            os.path.join(args.img_folder_path, str(image_paths[iid])), 512
         )
 
     ctx = EvalContext(
@@ -106,6 +120,19 @@ def main(argv=None):
     }[(args.task, args.grounding)]
 
     for run in discover_runs(args.gen_dir, args.task):
+        # split-mismatch guard: run names don't encode --mode, and scoring a
+        # valid-split manifest against test ground truth would KeyError deep in
+        # the cascade (or worse, resume onto the other split's cached metrics)
+        man = np.load(run + ".npy", allow_pickle=True).item()
+        man_oids = {int(o) for by_oid in man.values() for o in by_oid}
+        unknown = man_oids - {int(o) for o in grd}
+        if unknown:
+            raise SystemExit(
+                f"{os.path.basename(run)}: {len(unknown)}/{len(man_oids)} outfit "
+                f"ids not in the {args.mode} ground truth (e.g. "
+                f"{sorted(unknown)[:3]}) — was this run generated with the other "
+                f"--mode?"
+            )
         log.info("evaluating %s ...", os.path.basename(run))
         res = fn(run, ctx, grd)
         log.info("== %s ==", os.path.basename(run))

@@ -120,6 +120,7 @@ def main(argv=None):
         grd_dict=grd, seed=args.seed, max_batches=args.max_batches,
     )
     log.info("generation complete: %s", out)
+    return out
 
 
 if __name__ == "__main__":

@@ -58,7 +58,9 @@ def load_reference_results(path: Optional[str]) -> Dict[str, float]:
 
 
 def parity_table(ours: Dict[str, float], reference: Dict[str, float]) -> list:
-    """Rows: (metric, ours, ref, delta_pct, gate_status)."""
+    """Rows: (metric, ours, ref, delta_pct, gate_status). A GATED metric that the
+    reference pins but we did not measure (or could not parse) is a FAIL — a
+    parity run must never report success with the north-star metrics unchecked."""
     rows = []
     for k in sorted(set(ours) | set(reference)):
         o = ours.get(k)
@@ -68,10 +70,13 @@ def parity_table(ours: Dict[str, float], reference: Dict[str, float]) -> list:
             try:
                 o_f = float(np.asarray(o).reshape(-1)[0])
             except (TypeError, ValueError):
-                continue
+                o_f = None
         if o_f is None or r is None:
-            rows.append((k, o_f, r, None,
-                         "no reference value" if r is None else "not measured"))
+            if k in GATED and r is not None:
+                rows.append((k, o_f, r, None, "FAIL (gated metric not measured)"))
+            else:
+                rows.append((k, o_f, r, None,
+                             "no reference value" if r is None else "not measured"))
             continue
         delta = abs(o_f - r) / max(abs(r), 1e-12) * 100.0
         if k in GATED:
@@ -124,6 +129,12 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--grounding", action="store_true",
                    help="also run the grounding driver")
+    p.add_argument("--config", default=None,
+                   help="model/generation config JSON (forwarded to generate — "
+                        "REQUIRED for checkpoints not trained on a preset)")
+    p.add_argument("--num_inference_steps", type=int, default=None)
+    p.add_argument("--scheduler", choices=["pndm", "ddim", "dpmpp"], default=None)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--allow_random_weights", action="store_true",
                    help="test plumbing only — NEVER a real parity run")
@@ -147,12 +158,20 @@ def main(argv=None):
         gen_argv += ["--ckpt_step", str(args.ckpt_step)]
     if args.max_batches is not None:
         gen_argv += ["--max_batches", str(args.max_batches)]
+    # generation settings must match how the checkpoint is meant to run
+    for flag, val in (("--config", args.config),
+                      ("--num_inference_steps", args.num_inference_steps),
+                      ("--scheduler", args.scheduler),
+                      ("--seed", args.seed)):
+        if val is not None:
+            gen_argv += [flag, str(val)]
     if args.tiny:
         gen_argv += ["--tiny"]
     if args.allow_random_weights:
         gen_argv += ["--allow_random_weights"]
     log.info("[parity 1/3] generation: %s %s", args.task, args.mode)
-    generate_main(gen_argv)
+    run_dir = generate_main(gen_argv)
+    this_run = os.path.basename(run_dir)
 
     # 2) all metric drivers over the fresh run (refuses on random backbones)
     from difashion_tpu.cli.evaluate import main as evaluate_main
@@ -181,16 +200,31 @@ def main(argv=None):
     if args.grounding:
         evaluate_main(eval_argv + ["--grounding"])
 
-    # 3) the comparison table with 2% gates
+    # 3) the comparison table with 2% gates — for THE RUN JUST GENERATED (the
+    # results file accumulates every run ever evaluated into this out_dir)
     results_path = os.path.join(args.out_dir, "eval_results.npy")
     all_results = np.load(results_path, allow_pickle=True).item()
-    run_name, ours = next(iter(all_results.items()))
+    if this_run not in all_results:
+        raise SystemExit(f"run {this_run!r} missing from {results_path} "
+                         f"(found: {sorted(all_results)[:3]})")
+    ours = dict(all_results[this_run])
+    if args.grounding:
+        gpath = os.path.join(args.out_dir, "eval_results_grounding.npy")
+        gres = np.load(gpath, allow_pickle=True).item().get(this_run, {})
+        ours.update({f"grounding_{k}": v for k, v in gres.items()})
     reference = load_reference_results(args.reference_results)
-    log.info("[parity 3/3] reference comparison for %s", run_name)
+    if args.reference_results and not reference:
+        raise SystemExit(
+            f"--reference_results {args.reference_results!r} yielded no usable "
+            "metric values (wrong file or unexpected layout?) — refusing to "
+            "report a gate-idle table as if no reference were given"
+        )
+    log.info("[parity 3/3] reference comparison for %s", this_run)
     rows = parity_table(ours, reference)
     ok = print_table(rows, log)
     if reference and not ok:
-        raise SystemExit("parity FAILED: gated metric outside the 2% window")
+        raise SystemExit("parity FAILED: gated metric outside the 2% window "
+                         "or not measured")
     if not reference:
         log.info("(no --reference_results given: table is ours-only, gates idle)")
     log.info("parity run complete: %s", results_path)

@@ -34,6 +34,11 @@ def test_parity_table_gates():
     log = logging.getLogger("test_parity")
     assert print_table(parity_table(ours, {"fid": 10.1}), log) is True
     assert print_table(parity_table(ours, ref), log) is False
+    # a gated metric the reference pins but we did not measure is a FAIL,
+    # not a quietly dropped row
+    rows2 = {r[0]: r for r in parity_table({"clip_score": 0.3}, {"fid": 10.0})}
+    assert rows2["fid"][4].startswith("FAIL")
+    assert print_table(parity_table({"clip_score": 0.3}, {"fid": 10.0}), log) is False
 
 
 def test_load_reference_results_formats(tmp_path):
@@ -158,6 +163,11 @@ def test_parity_cli_end_to_end(tmp_path):
     # plumbing run (explicit override; tiny towers, 2-step sampler via config? no:
     # tiny preset generation steps are small already)
     out_dir = tmp_path / "parity_out"
+    # pre-seed the shared results file with a STALE run: step 3 must gate on the
+    # run just generated, not the oldest entry
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(out_dir / "eval_results.npy",
+            np.array({"FITB-checkpoint-0-stale": {"fid": 999.0}}, dtype=object))
     parity_cli.main([
         "--data_path", str(dpath), "--ckpt_dir", str(ckpt),
         "--weights_dir", str(tmp_path / "none"),
@@ -168,9 +178,40 @@ def test_parity_cli_end_to_end(tmp_path):
         "--max_batches", "1",
     ])
     results = np.load(out_dir / "eval_results.npy", allow_pickle=True).item()
-    run_name, ours = next(iter(results.items()))
+    assert "FITB-checkpoint-0-stale" in results        # preserved, not clobbered
+    run_name, ours = [(k, v) for k, v in results.items() if "stale" not in k][0]
     assert run_name.startswith("FITB-checkpoint-")
     assert "fid" in ours and np.isfinite(ours["fid"])
+
+    # a reference matching the FRESH run passes -- it would FAIL against the
+    # stale entry's fid=999, proving step 3 selects the run just generated
+    ref_match = tmp_path / "ref_match.json"
+    ref_match.write_text(json.dumps({"fid": float(ours["fid"])}))
+    parity_cli.main([
+        "--data_path", str(dpath), "--ckpt_dir", str(ckpt),
+        "--weights_dir", str(tmp_path / "none"),
+        "--img_folder_path", str(img_dir),
+        "--image_paths_npy", str(paths_npy),
+        "--cnn_features_npy", str(cnn_npy),
+        "--reference_results", str(ref_match),
+        "--out_dir", str(out_dir), "--tiny", "--allow_random_weights",
+        "--max_batches", "1",
+    ])
+
+    # a reference file that parses to zero usable metrics must refuse loudly
+    ref_bad = tmp_path / "ref_bad.npy"
+    np.save(ref_bad, np.array({"run": {"fid": {"not": "a number"}}}, dtype=object))
+    with pytest.raises(SystemExit, match="no usable"):
+        parity_cli.main([
+            "--data_path", str(dpath), "--ckpt_dir", str(ckpt),
+            "--weights_dir", str(tmp_path / "none"),
+            "--img_folder_path", str(img_dir),
+            "--image_paths_npy", str(paths_npy),
+            "--cnn_features_npy", str(cnn_npy),
+            "--reference_results", str(ref_bad),
+            "--out_dir", str(out_dir), "--tiny", "--allow_random_weights",
+            "--max_batches", "1",
+        ])
 
     # gate failure path: reference far away -> SystemExit
     ref_json = tmp_path / "ref.json"
