@@ -134,6 +134,13 @@ def run_training(
     if tcfg.resume_from_checkpoint:
         step = (None if tcfg.resume_from_checkpoint == "latest"
                 else int(tcfg.resume_from_checkpoint))
+        if step is not None and step not in store.all_steps():
+            # an EXPLICIT step that doesn't exist must fail loudly — silently
+            # starting fresh would begin overwriting the directory's history
+            raise SystemExit(
+                f"--resume_from_checkpoint {step}: checkpoint-{step} not found "
+                f"under {tcfg.output_dir} (have: {store.all_steps() or 'none'})"
+            )
         if store.latest_step() is not None:
             state = store.load(state, step)
             start_step = int(state.step)
@@ -241,35 +248,40 @@ def run_training(
     imgs_per_step = tcfg.train_batch_size * data.train.outfits.shape[1]
     timer.start()
     crop_rng = np.random.RandomState(tcfg.seed + 1)
-    while step < max_steps:
-        host_batch = loader.batch_at(step)
-        batch = assemble_batch(
-            host_batch, moments_mean, moments_logvar, ids_table, cid_row,
-            hist_store, sf, image_loader=image_loader, np_rng=crop_rng,
-        )
-        batch = place_batch(batch)
-        rng, step_rng = jax.random.split(rng)
-        state, m = jitted(state, batch, null_latent, null_text, step_rng)
-        step += 1
-        # Host-sync only periodically: dispatch stays async between syncs so the
-        # device never waits on a host round-trip (the reference logs every step
-        # through accelerator.gather — a per-step sync).
-        if step % sync_every == 0 or step >= max_steps:
-            loss = float(m["loss"])  # forces completion of the whole chain
-            t = timer.stop(imgs_per_step * sync_every)
-            metrics_log.log(
-                step, loss=loss, grad_norm=float(m.get("grad_norm", 0.0)),
-                update_skipped=float(m.get("update_skipped", 0.0)), **t,
+    try:
+        while step < max_steps:
+            host_batch = loader.batch_at(step)
+            batch = assemble_batch(
+                host_batch, moments_mean, moments_logvar, ids_table, cid_row,
+                hist_store, sf, image_loader=image_loader, np_rng=crop_rng,
             )
-            timer.start()
-        if step % tcfg.checkpointing_steps == 0 or step >= max_steps:
-            store.save_async(state, step)
-            log.info("saved checkpoint-%d (async)", step)
-        if validation_every > 0 and step % validation_every == 0:
-            run_validation(state, step)
-            timer.start()   # exclude validation wall time from step timing
-    store.wait()
-    metrics_log.close()
+            batch = place_batch(batch)
+            rng, step_rng = jax.random.split(rng)
+            state, m = jitted(state, batch, null_latent, null_text, step_rng)
+            step += 1
+            # Host-sync only periodically: dispatch stays async between syncs so
+            # the device never waits on a host round-trip (the reference logs
+            # every step through accelerator.gather — a per-step sync).
+            if step % sync_every == 0 or step >= max_steps:
+                loss = float(m["loss"])  # forces completion of the whole chain
+                t = timer.stop(imgs_per_step * sync_every)
+                metrics_log.log(
+                    step, loss=loss, grad_norm=float(m.get("grad_norm", 0.0)),
+                    update_skipped=float(m.get("update_skipped", 0.0)), **t,
+                )
+                timer.start()
+            if step % tcfg.checkpointing_steps == 0 or step >= max_steps:
+                store.save_async(state, step)
+                log.info("saved checkpoint-%d (async)", step)
+            if validation_every > 0 and step % validation_every == 0:
+                run_validation(state, step)
+                timer.start()   # exclude validation wall time from step timing
+    finally:
+        # an exception in the loop must not abandon an announced checkpoint
+        # mid-write (daemon writer dies at interpreter exit) or lose buffered
+        # metrics; wait() also re-raises any background write failure
+        store.wait()
+        metrics_log.close()
     return state, model
 
 

@@ -76,27 +76,50 @@ class CheckpointStore:
 
     def save_async(self, state, step: int) -> None:
         """Snapshot to host now, write files in a background thread (the train loop
-        only blocks on the device->host transfer, not on disk IO). A later save
-        joins any in-flight write first."""
+        only blocks on the device->host transfer, not on disk IO). A later save —
+        or wait() — joins any in-flight write first and RE-RAISES its failure:
+        a checkpoint the log announced must either exist or crash the run."""
         self.wait()
         host_state = jax.device_get(state)
-        self._writer = threading.Thread(
-            target=self.save, args=(host_state, step), daemon=True
-        )
+
+        def _run():
+            try:
+                self.save(host_state, step)
+            except BaseException as e:   # surfaced by wait()
+                self._writer_error = e
+
+        self._writer_error: Optional[BaseException] = None
+        self._writer = threading.Thread(target=_run, daemon=True)
         self._writer.start()
 
     def wait(self) -> None:
         if self._writer is not None:
             self._writer.join()
             self._writer = None
+            err = getattr(self, "_writer_error", None)
+            if err is not None:
+                self._writer_error = None
+                raise RuntimeError("async checkpoint write failed") from err
 
     def save(self, state, step: int) -> str:
         """state: engine.train.TrainState (host or device arrays)."""
+        from difashion_tpu.engine.train import split_params
+
         state = jax.device_get(state)
+        if int(state.step) != step:
+            import logging
+
+            logging.getLogger("difashion_tpu").warning(
+                "checkpoint label %d != state.step %d — resume will use "
+                "state.step", step, int(state.step),
+            )
         path = self.ckpt_path(step)
         tmp = path + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
-        trainable = {k: state.params[k] for k in ("unet", "fashion_encoder")}
+        # never reuse a stale .tmp from a crashed writer: its leftover files
+        # (e.g. an old ema.msgpack) would be committed into the new checkpoint
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        trainable, _ = split_params(state.params)
         _write(os.path.join(tmp, "trainable.msgpack"), trainable)
         _write(os.path.join(tmp, "opt_state.msgpack"), state.opt_state)
         meta = {"step": int(state.step)}
@@ -106,8 +129,17 @@ class CheckpointStore:
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f)
         if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+            # move the old checkpoint aside BEFORE the replace (a directory
+            # os.replace needs the target gone) but only delete it AFTER the new
+            # one is committed — a crash mid-save leaves either old or new on
+            # disk, never neither
+            old = path + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+            os.replace(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(tmp, path)
         self._prune()
         return path
 
@@ -121,9 +153,9 @@ class CheckpointStore:
             if step is None:
                 raise FileNotFoundError(f"no checkpoints under {self.dir}")
         path = self.ckpt_path(step)
-        trainable_t = {
-            k: state_template.params[k] for k in ("unet", "fashion_encoder")
-        }
+        from difashion_tpu.engine.train import split_params
+
+        trainable_t, _ = split_params(state_template.params)
         trainable = _read(os.path.join(path, "trainable.msgpack"), trainable_t)
         opt_state = _read(
             os.path.join(path, "opt_state.msgpack"), state_template.opt_state
@@ -131,15 +163,35 @@ class CheckpointStore:
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         ema = None
-        if state_template.ema is not None and os.path.exists(
-            os.path.join(path, "ema.msgpack")
-        ):
+        has_ema_file = os.path.exists(os.path.join(path, "ema.msgpack"))
+        if state_template.ema is not None and has_ema_file:
             ema_params = _read(
                 os.path.join(path, "ema.msgpack"), state_template.ema.params
             )
             ema = EMAState(
                 params=ema_params,
                 step=np.asarray(meta.get("ema_step", meta["step"]), np.int32),
+            )
+        elif state_template.ema is not None and not has_ema_file:
+            # resume with EMA newly enabled: seed the average from the restored
+            # trainable weights (warmup decay restarts) instead of silently
+            # training the rest of the run EMA-free
+            import logging
+
+            logging.getLogger("difashion_tpu").warning(
+                "checkpoint-%d has no EMA but the config enables it — seeding "
+                "EMA from the restored trainable params", step,
+            )
+            ema = EMAState(
+                params=jax.tree_util.tree_map(np.copy, trainable),
+                step=np.zeros((), np.int32),
+            )
+        elif state_template.ema is None and has_ema_file:
+            import logging
+
+            logging.getLogger("difashion_tpu").warning(
+                "checkpoint-%d carries EMA weights but the config disables EMA "
+                "— they will not be restored or updated", step,
             )
         params = dict(state_template.params)
         params.update(trainable)

@@ -260,3 +260,27 @@ def test_in_training_validation_sampling(tmp_path):
     files = glob.glob(str(tmp_path / "logs" / "tb" / "events.out.tfevents.*"))
     img_evs = [e for f in files for e in read_events(f) if e.get("images")]
     assert img_evs and "validation/fitb_samples" in img_evs[0]["images"]
+
+
+def test_explicit_resume_step_missing_fails_loudly(tmp_path):
+    """--resume_from_checkpoint <step> on a directory without that checkpoint must
+    refuse, not silently start a fresh run over the directory's history."""
+    from difashion_tpu.cli.train import run_training
+
+    cfg = Config.preset_tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, output_dir=str(tmp_path / "ckpt"),
+            resume_from_checkpoint="50", train_batch_size=2,
+        ),
+    )
+    data, n_items = _synthetic_data()
+    h, C = cfg.model.unet.sample_size, cfg.model.vae.latent_channels
+    mean = np.zeros((n_items, h, h, C), np.float32)
+    logvar = np.full_like(mean, -6.0)
+    hist = HistLatentStore.from_catalog(data.history["train"], mean)
+    tok = HashTokenizer(vocab_size=cfg.model.text.vocab_size)
+    with pytest.raises(SystemExit, match="checkpoint-50 not found"):
+        run_training(cfg, data, mean, logvar, hist, tok, max_steps=1,
+                     log_dir=str(tmp_path / "logs"))

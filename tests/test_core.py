@@ -454,3 +454,78 @@ def test_load_state_dict_sharded_and_wrapped(tmp_path, tiny):
                 "epoch": 3}, tp)
     sd2 = load_state_dict(tp)
     assert set(sd2) == {"x"} and sd2["x"].dtype == np.float32
+
+
+def test_checkpoint_async_failure_reraised(tmp_path, tiny):
+    """A background save that fails must surface at wait() — never a silently
+    missing checkpoint the log already announced."""
+    from difashion_tpu.engine import build_train_step
+
+    model, params = create_difashion(tiny, jax.random.PRNGKey(9))
+    _, init_fn = build_train_step(model, TrainConfig())
+    state = init_fn(params)
+    store = CheckpointStore(str(tmp_path))
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    store.save = boom
+    store.save_async(state, 7)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        store.wait()
+    # the store recovers: wait() again is a no-op
+    store.wait()
+
+
+def test_checkpoint_stale_tmp_not_committed(tmp_path, tiny):
+    """Leftover files in a crashed writer's .tmp dir must not leak into the new
+    checkpoint (e.g. a stale ema.msgpack from a previous EMA-enabled run)."""
+    import os as _os
+
+    from difashion_tpu.engine import build_train_step
+
+    model, params = create_difashion(tiny, jax.random.PRNGKey(10))
+    _, init_fn = build_train_step(
+        model, TrainConfig(use_ema=False, use_ema_fashion=False)
+    )
+    state = init_fn(params)._replace(step=np.asarray(5, np.int32))
+    store = CheckpointStore(str(tmp_path))
+    tmp = store.ckpt_path(5) + ".tmp"
+    _os.makedirs(tmp)
+    open(_os.path.join(tmp, "ema.msgpack"), "wb").write(b"stale")
+    store.save(state, 5)
+    assert not _os.path.exists(_os.path.join(store.ckpt_path(5), "ema.msgpack"))
+    assert not _os.path.exists(tmp)
+    # re-save over an existing step leaves no .old residue
+    store.save(state, 5)
+    assert not _os.path.exists(store.ckpt_path(5) + ".old")
+
+
+def test_checkpoint_resume_seeds_ema_when_newly_enabled(tmp_path, tiny, caplog):
+    """Resuming an EMA-less checkpoint with EMA newly enabled seeds the average
+    from the restored trainable weights instead of silently training EMA-free."""
+    from difashion_tpu.engine import build_train_step
+
+    model, params = create_difashion(tiny, jax.random.PRNGKey(11))
+    _, init_off = build_train_step(
+        model, TrainConfig(use_ema=False, use_ema_fashion=False)
+    )
+    state = init_off(params)._replace(step=np.asarray(3, np.int32))
+    store = CheckpointStore(str(tmp_path))
+    store.save(state, 3)
+
+    _, init_on = build_train_step(
+        model, TrainConfig(use_ema=True, use_ema_fashion=True)
+    )
+    template = init_on(params)
+    import logging as _logging
+
+    with caplog.at_level(_logging.WARNING, logger="difashion_tpu"):
+        restored = store.load(template, 3)
+    assert restored.ema is not None and int(restored.ema.step) == 0
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema.params),
+                    jax.tree_util.tree_leaves(
+                        {k: restored.params[k]
+                         for k in ("unet", "fashion_encoder")})):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any("seeding EMA" in r.message for r in caplog.records)
