@@ -47,14 +47,25 @@ def apply_generation_overrides(cfg, scheduler=None, num_inference_steps=None):
 
 
 class GenerationService:
-    """Warm-model request handler shared by the HTTP layer and tests."""
+    """Warm-model request handler shared by the HTTP layer and tests.
 
-    def __init__(self, pipeline, max_batch: int = 16):
+    One device, one compiled sampler: requests are serialized through a lock so
+    a burst of concurrent POSTs cannot stack device batches (each in-flight call
+    would hold its own full-resolution output buffers) or skew each other's
+    latency accounting."""
+
+    def __init__(self, pipeline, max_batch: int = 16, checkpoint_step=None):
+        import threading
+
         self.pipeline = pipeline
         self.max_batch = max_batch
+        self.checkpoint_step = checkpoint_step
+        self._lock = threading.Lock()
 
     def generate(self, req: dict) -> dict:
         task = req.get("task", "FITB")
+        if task not in ("FITB", "GOR"):
+            raise ValueError(f"task must be 'FITB' or 'GOR', got {task!r}")
         batch = {
             "uids": np.asarray(req["uids"], np.int64),
             "oids": np.asarray(req["oids"], np.int64),
@@ -63,12 +74,26 @@ class GenerationService:
         }
         if len(batch["uids"]) > self.max_batch:
             raise ValueError(f"batch too large (> {self.max_batch})")
-        t0 = time.perf_counter()
-        rng = jax.random.PRNGKey(int(req.get("seed", 123)))
         olen = batch["outfits"].shape[1]
         pad_to = self.max_batch * (olen if task == "GOR" else 1)
-        prep = self.pipeline.prepare_batch(batch, task, rng, pad_to=pad_to)
-        imgs = self.pipeline.generate_batch(prep)
+        # the compiled sampler's batch dim is the FILL count, not the outfit
+        # count: multi-blank FITB outfits could otherwise exceed pad_to and
+        # trigger a fresh XLA compile at an uncapped device batch
+        n_fills = (int((batch["outfits"] == 0).sum()) if task == "FITB"
+                   else len(batch["uids"]) * olen)
+        if n_fills == 0:
+            raise ValueError("no slots to generate (task FITB needs at least "
+                             "one 0 in outfits)")
+        if n_fills > pad_to:
+            raise ValueError(
+                f"{n_fills} fill slots exceed the service cap {pad_to} "
+                f"(= max_batch {self.max_batch} x {pad_to // self.max_batch})"
+            )
+        t0 = time.perf_counter()
+        rng = jax.random.PRNGKey(int(req.get("seed", 123)))
+        with self._lock:
+            prep = self.pipeline.prepare_batch(batch, task, rng, pad_to=pad_to)
+            imgs = self.pipeline.generate_batch(prep)
         out: dict = {}
         from PIL import Image
 
@@ -101,16 +126,34 @@ def make_handler(service: GenerationService):
             else:
                 self._send(404, {"error": "not found"})
 
+        MAX_BODY = 16 * 2**20   # request JSON is ids only; 16 MB is generous
+
         def do_POST(self):
             if self.path != "/generate":
                 self._send(404, {"error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n <= 0 or n > self.MAX_BODY:
+                    self._send(400, {"error": f"Content-Length must be in "
+                                              f"(0, {self.MAX_BODY}]"})
+                    return
                 req = json.loads(self.rfile.read(n))
-                self._send(200, service.generate(req))
-            except Exception as e:  # noqa: BLE001 — service boundary
+            except Exception as e:  # malformed request
+                self._send(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                result = service.generate(req)
+            except (ValueError, KeyError) as e:   # client error
                 self._send(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — internal failure
+                self._send(500, {"error": f"internal error: {type(e).__name__}"})
+                return
+            try:
+                self._send(200, result)
+            except (BrokenPipeError, ConnectionResetError):
+                pass   # client went away after the work was done; nothing to do
 
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -142,7 +185,7 @@ def build_service(args) -> "GenerationService":
     data = FashionData.load(args.data_path)
     proc = load_processed(args.data_path, "all_item_moments")
     item_latents = (proc["mean"] * cfg.model.vae.scaling_factor
-                    if proc else None)
+                    if proc is not None else None)
     hist_store = HistLatentStore.from_catalog(
         data.history.get("test", {}),
         item_latents if item_latents is not None else np.zeros(
@@ -153,9 +196,8 @@ def build_service(args) -> "GenerationService":
         model, params, cfg, data.id_cate_dict, tokenizer, hist_store,
         item_latents=item_latents,
     )
-    service = GenerationService(pipe, max_batch=args.max_batch)
-    service.checkpoint_step = step
-    return service
+    return GenerationService(pipe, max_batch=args.max_batch,
+                             checkpoint_step=step)
 
 
 def main(argv=None):

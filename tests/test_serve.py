@@ -2,6 +2,7 @@
 import base64
 import json
 import threading
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -152,3 +153,66 @@ def test_serve_cli_refuses_hash_tokenizer_without_override(tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="tokenizer"):
         build_service(args)
+
+
+def test_service_validates_requests(service):
+    # unknown task strings are rejected, not silently run as FITB
+    bad = _req(2)
+    bad["task"] = "gor"
+    with pytest.raises(ValueError, match="task must be"):
+        service.generate(bad)
+    # zero fill slots: reject before any device work
+    nofill = _req(2)
+    nofill["outfits"] = [[1, 2, 3, 4], [5, 6, 7, 8]]
+    with pytest.raises(ValueError, match="no slots to generate"):
+        service.generate(nofill)
+    # multi-blank outfits: the FILL count (not the outfit count) is capped, so
+    # a request cannot force an uncapped device batch / fresh XLA compile
+    multi = _req(4)                            # max_batch=4 outfits OK...
+    multi["outfits"] = [[0, 0, 3, 4]] * 4      # ...but 8 fills > pad_to=4
+    with pytest.raises(ValueError, match="fill slots exceed"):
+        service.generate(multi)
+
+
+def test_http_error_classification(service):
+    handler = make_handler(service)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(body: bytes, headers=None):
+            r = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body,
+                headers=headers or {"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(r, timeout=30) as resp:
+                    return resp.status, json.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        # client errors are 400 with a message
+        code, body = post(json.dumps({"task": "nope"}).encode())
+        assert code == 400
+        code, body = post(b"not json at all")
+        assert code == 400 and "bad request" in body["error"]
+        # oversized Content-Length is refused before the read
+        code, body = post(b"{}", headers={
+            "Content-Type": "application/json",
+            "Content-Length": str(10**9),
+        })
+        assert code == 400
+
+        # internal failures are 500, and the message is not a raw str(exception)
+        real = service.pipeline.prepare_batch
+        service.pipeline.prepare_batch = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("device exploded"))
+        try:
+            code, body = post(json.dumps(_req(1)).encode())
+            assert code == 500 and "RuntimeError" in body["error"]
+            assert "device exploded" not in body["error"]
+        finally:
+            service.pipeline.prepare_batch = real
+    finally:
+        srv.shutdown()
