@@ -124,10 +124,14 @@ class HistLatentStore:
     def from_catalog(history: dict, all_latents: np.ndarray) -> "HistLatentStore":
         out = {}
         for uid, by_cate in history.items():
-            out[uid] = {
+            # skip empty history lists: mean([]) is NaN and `cate in by_cate`
+            # would then bypass the null fallback in lookup()
+            per_cate = {
                 cate: all_latents[np.asarray(iids, np.int64)].mean(axis=0)
-                for cate, iids in by_cate.items()
+                for cate, iids in by_cate.items() if len(iids) > 0
             }
+            if per_cate:
+                out[uid] = per_cate
         return HistLatentStore(out, all_latents[0])
 
     def lookup(self, uid: int, cate: int) -> np.ndarray:
@@ -161,13 +165,28 @@ class TrainLoader:
 
     def steps_per_epoch(self) -> int:
         n = len(self.table)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        spe = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if spe == 0:
+            raise ValueError(
+                f"train table has {n} rows < batch_size {self.batch_size} "
+                f"(drop_last={self.drop_last}): no full batch can be formed"
+            )
+        return spe
 
     def epoch_order(self, epoch: int) -> np.ndarray:
         if not self.shuffle:
             return np.arange(len(self.table))
+        # one-slot cache: the hot loop asks for the same epoch's permutation
+        # batch after batch, and rebuilding an O(N) shuffle per step is real
+        # host time at catalog scale (resume semantics unchanged — the
+        # permutation stays a pure function of (seed, epoch))
+        cached = getattr(self, "_order_cache", None)
+        if cached is not None and cached[0] == epoch:
+            return cached[1]
         rng = np.random.RandomState((self.seed * 100003 + epoch) % (2 ** 31))
-        return rng.permutation(len(self.table))
+        order = rng.permutation(len(self.table))
+        self._order_cache = (epoch, order)
+        return order
 
     def batch_at(self, global_step: int) -> dict:
         spe = self.steps_per_epoch()

@@ -48,9 +48,16 @@ def encode_catalog(
     for start in range(0, num_items, batch_size):
         end = min(start + batch_size, num_items)
         imgs = np.stack([image_loader(i) for i in range(start, end)])
+        n = end - start
+        if n < batch_size:
+            # pad the ragged last batch to the compiled shape: a second full
+            # VAE-encode compilation for one partial batch is tens of seconds
+            imgs = np.concatenate(
+                [imgs, np.zeros((batch_size - n,) + imgs.shape[1:], imgs.dtype)]
+            )
         m, lv = encode(params, jnp.asarray(imgs))
-        means.append(np.asarray(m, np.float32))
-        logvars.append(np.asarray(lv, np.float32))
+        means.append(np.asarray(m[:n], np.float32))
+        logvars.append(np.asarray(lv[:n], np.float32))
     return {
         "mean": np.concatenate(means, axis=0),
         "logvar": np.concatenate(logvars, axis=0),
@@ -62,20 +69,18 @@ def moments_to_scaled_modes(moments: dict, scaling_factor: float) -> np.ndarray:
     return moments["mean"] * scaling_factor
 
 
-def build_hist_store(history: dict, all_latents: np.ndarray) -> HistLatentStore:
-    return HistLatentStore.from_catalog(history, all_latents)
-
-
 def tokenize_outfits(table: OutfitTable, id_cate_dict, tokenizer) -> np.ndarray:
     """Per-outfit [olen, 77] input_ids using the *training* prompt form
     (reference `data_utils.py:96-111`). Returns [N, olen, 77] int32."""
     N, olen = table.category.shape
+    if N == 0:
+        return np.zeros((0, olen, 77), np.int32)
     # tokenize each unique category once; outfits index into the table
-    unique_cids = sorted({int(c) for c in table.category.reshape(-1)})
+    unique_cids = np.unique(table.category).astype(int).tolist()
     prompts = build_train_prompts(unique_cids, id_cate_dict)
     ids = tokenizer(prompts)                         # [U, 77]
     cid_to_row = {c: i for i, c in enumerate(unique_cids)}
-    rows = np.vectorize(cid_to_row.get)(table.category)
+    rows = np.vectorize(cid_to_row.get, otypes=[np.int64])(table.category)
     return ids[rows].astype(np.int32)                # [N, olen, 77]
 
 

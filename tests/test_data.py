@@ -200,3 +200,37 @@ def test_denormalize_roundtrip():
     out = denormalize_to_uint8(x)
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out[0, 0, 0], [0, 128, 255])
+
+
+def test_hist_store_empty_history_list_falls_back_to_null():
+    """{uid: {cate: []}} must not poison conditioning with a NaN mean latent."""
+    from difashion_tpu.data.datasets import HistLatentStore
+
+    lat = np.arange(24, dtype=np.float32).reshape(3, 2, 2, 2)
+    store = HistLatentStore.from_catalog({1: {2: [], 3: [1, 2]}}, lat)
+    np.testing.assert_array_equal(store.lookup(1, 2), store.null)   # empty -> null
+    np.testing.assert_array_equal(store.lookup(1, 3), lat[[1, 2]].mean(0))
+    assert np.isfinite(store.gather(np.array([1]), np.array([[2, 3]]))).all()
+
+
+def test_train_loader_batch_larger_than_table_errors():
+    from difashion_tpu.data.datasets import OutfitTable, TrainLoader
+
+    t = OutfitTable(uids=np.arange(3), oids=np.arange(3),
+                    outfits=np.ones((3, 4), np.int64),
+                    category=np.ones((3, 4), np.int64))
+    loader = TrainLoader(t, batch_size=8)
+    with pytest.raises(ValueError, match="3 rows < batch_size 8"):
+        loader.batch_at(0)
+
+
+def test_tokenize_outfits_empty_table():
+    from difashion_tpu.data.datasets import OutfitTable
+    from difashion_tpu.data.precompute import tokenize_outfits
+    from difashion_tpu.data.tokenizer import HashTokenizer
+
+    t = OutfitTable(uids=np.zeros(0, np.int64), oids=np.zeros(0, np.int64),
+                    outfits=np.zeros((0, 4), np.int64),
+                    category=np.zeros((0, 4), np.int64))
+    ids = tokenize_outfits(t, {1: "shoes"}, HashTokenizer(vocab_size=100))
+    assert ids.shape == (0, 4, 77)
