@@ -38,10 +38,17 @@ def make_item_loader(img_folder: str, image_paths, size: int):
 
         return load_native
 
+    # PIL fallback: the SAME pipeline as the native path (white-composite ->
+    # pad-square -> Lanczos), NOT the training transform — otherwise catalog
+    # moments silently differ between machines with and without the .so
+    from PIL import Image
+
+    from difashion_tpu.data.preprocessing import prepare_catalog_image
+
     def load(iid: int):
-        return load_catalog_image(
-            os.path.join(img_folder, str(image_paths[iid])), size=size
-        )
+        img = Image.open(os.path.join(img_folder, str(image_paths[iid])))
+        arr = np.asarray(prepare_catalog_image(img, size=size), np.float32)
+        return 2.0 * (arr / 255.0) - 1.0
 
     return load
 

@@ -89,15 +89,25 @@ class NativeCatalogLoader:
 
     def load(self, ids: Sequence[int]) -> np.ndarray:
         """ids -> [n, size, size, 3] f32 in [-1,1]; failed decodes become the white
-        null image (catalog convention)."""
+        null image (catalog convention), counted in `self.last_failed` and warned."""
+        if self._handle is None:
+            raise ValueError("loader is closed")
         ids_arr = np.ascontiguousarray(ids, np.int64)
         out = np.empty((len(ids_arr), self.size, self.size, 3), np.float32)
-        self._lib.dfio_loader_load(
+        failed = self._lib.dfio_loader_load(
             self._handle,
             ids_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(ids_arr),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
+        self.last_failed = int(failed)
+        if failed:
+            import logging
+
+            logging.getLogger("difashion_tpu").warning(
+                "native loader: %d/%d decodes failed (substituted the white "
+                "null image) — check catalog paths", failed, len(ids_arr),
+            )
         return out
 
     def close(self) -> None:

@@ -56,6 +56,7 @@ bool decode_jpeg(FILE* f, Image* out) {
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
+  std::vector<uint8_t> line;  // before setjmp: longjmp skips later destructors
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     return false;
@@ -63,15 +64,40 @@ bool decode_jpeg(FILE* f, Image* out) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  // CMYK/YCCK (Adobe product imagery): decode as CMYK and convert below —
+  // libjpeg has no direct CMYK->RGB path and would error out
+  bool cmyk = (cinfo.jpeg_color_space == JCS_CMYK ||
+               cinfo.jpeg_color_space == JCS_YCCK);
+  cinfo.out_color_space = cmyk ? JCS_CMYK : JCS_RGB;
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
   out->channels = 3;
   out->data.resize(size_t(out->w) * out->h * 3);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+  if (cmyk) {
+    // Adobe writers store CMYK inverted; libjpeg passes the raw bytes through,
+    // so after the standard inversion-aware product, RGB = (c * k) / 255 on the
+    // raw values (matches PIL's CMYK->RGB for Adobe JPEGs)
+    line.resize(size_t(out->w) * 4);
+    while (cinfo.output_scanline < cinfo.output_height) {
+      uint8_t* lp = line.data();
+      int y = cinfo.output_scanline;
+      jpeg_read_scanlines(&cinfo, &lp, 1);
+      uint8_t* q = out->data.data() + size_t(y) * out->w * 3;
+      for (int x = 0; x < out->w; ++x) {
+        const uint8_t* p = &line[size_t(x) * 4];
+        int k = p[3];
+        q[x * 3 + 0] = uint8_t(int(p[0]) * k / 255);
+        q[x * 3 + 1] = uint8_t(int(p[1]) * k / 255);
+        q[x * 3 + 2] = uint8_t(int(p[2]) * k / 255);
+      }
+    }
+  } else {
+    while (cinfo.output_scanline < cinfo.output_height) {
+      uint8_t* row =
+          out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
+      jpeg_read_scanlines(&cinfo, &row, 1);
+    }
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
@@ -93,6 +119,11 @@ bool decode_png(FILE* f, Image* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  // declared BEFORE setjmp: a longjmp from png error handling skips the
+  // destructors of locals constructed after the jump point (leak per corrupt
+  // PNG in a long-lived loader worker); in scope here, it is destroyed on the
+  // error return path like any other local
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -109,7 +140,7 @@ bool decode_png(FILE* f, Image* out) {
   out->h = png_get_image_height(png, info);
   out->channels = 4;
   out->data.resize(size_t(out->w) * out->h * 4);
-  std::vector<png_bytep> rows(out->h);
+  rows.resize(out->h);
   for (int y = 0; y < out->h; ++y)
     rows[y] = out->data.data() + size_t(y) * out->w * 4;
   png_read_image(png, rows.data());
@@ -276,17 +307,27 @@ Image resample(const Image& in, int out_w, int out_h, bool lanczos) {
   return out;
 }
 
-// catalog prep: decode -> composite white -> pad square -> lanczos to size
-bool prepare_catalog(const char* path, int size, float* out /* size*size*3 */) {
+// catalog prep: decode -> composite white -> pad square -> lanczos to size.
+// noexcept contract: this is called from pool workers and across the ctypes
+// FFI boundary — an escaping exception (e.g. bad_alloc from a corrupt header
+// declaring 65535x65535) would std::terminate the process instead of taking
+// the white-null / IOError failure path.
+bool prepare_catalog(const char* path, int size,
+                     float* out /* size*size*3 */) noexcept try {
   Image img;
   if (!decode_file(path, &img)) return false;
-  img = composite_white(img);
-  img = pad_square_white(img);
+  // 100 MPix sanity cap: reject absurd headers before allocating for them
+  if (img.w <= 0 || img.h <= 0 || size_t(img.w) * img.h > 100u * 1000 * 1000)
+    return false;
+  if (img.channels == 4) img = composite_white(img);   // skip no-op copies
+  if (img.w != img.h) img = pad_square_white(img);
   if (img.w != size) img = resample(img, size, size, /*lanczos=*/true);
   const float inv = 1.0f / 255.0f;
   for (size_t i = 0, n = size_t(size) * size * 3; i < n; ++i)
     out[i] = 2.0f * (img.data[i] * inv) - 1.0f;  // [0,255] -> [-1,1]
   return true;
+} catch (...) {
+  return false;
 }
 
 // ---------------------------------------------------------------------------
@@ -304,9 +345,10 @@ struct Loader {
   const int64_t* req_ids = nullptr;  // current request (catalog indices)
   float* req_out = nullptr;
   int64_t req_n = 0;
-  std::atomic<int64_t> done{0};
+  int64_t done = 0;                  // guarded by mu (see worker note)
   std::atomic<int64_t> failed{0};
   bool stop = false;
+  std::mutex req_mu;                 // serializes whole load() requests
 
   void worker() {
     for (;;) {
@@ -327,7 +369,15 @@ struct Loader {
         std::fill(dst, dst + int64_t(size) * size * 3, 1.0f);
         failed.fetch_add(1);
       }
-      if (done.fetch_add(1) + 1 == req_n) cv_done.notify_all();
+      // the final increment MUST happen under mu: an unguarded atomic bump
+      // could land between the waiter's predicate check and its block,
+      // losing the only notify (load() would hang forever)
+      bool last;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        last = (++done == req_n);
+      }
+      if (last) cv_done.notify_all();
     }
   }
 };
@@ -341,13 +391,49 @@ int dfio_prepare_image(const char* path, int size, float* out) {
   return prepare_catalog(path, size, out) ? 1 : 0;
 }
 
-// Decode without resize; returns w/h via pointers, fills buf if big enough.
-int dfio_image_size(const char* path, int* w, int* h) {
-  Image img;
-  if (!decode_file(path, &img)) return 0;
-  *w = img.w;
-  *h = img.h;
-  return 1;
+// Header-only dimensions probe (no pixel decode).
+int dfio_image_size(const char* path, int* w, int* h) noexcept try {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 0;
+  int c0 = fgetc(f);
+  int c1 = fgetc(f);
+  rewind(f);
+  int ok = 0;
+  if (c0 == 0x89 && c1 == 'P') {
+    uint8_t sig[8];
+    if (fread(sig, 1, 8, f) == 8 && !png_sig_cmp(sig, 0, 8)) {
+      png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                               nullptr, nullptr);
+      png_infop info = png ? png_create_info_struct(png) : nullptr;
+      if (png && info && !setjmp(png_jmpbuf(png))) {
+        png_init_io(png, f);
+        png_set_sig_bytes(png, 8);
+        png_read_info(png, info);
+        *w = int(png_get_image_width(png, info));
+        *h = int(png_get_image_height(png, info));
+        ok = 1;
+      }
+      if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    }
+  } else {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (!setjmp(jerr.jb)) {
+      jpeg_create_decompress(&cinfo);
+      jpeg_stdio_src(&cinfo, f);
+      jpeg_read_header(&cinfo, TRUE);
+      *w = int(cinfo.image_width);
+      *h = int(cinfo.image_height);
+      ok = 1;
+    }
+    jpeg_destroy_decompress(&cinfo);
+  }
+  fclose(f);
+  return ok;
+} catch (...) {
+  return 0;
 }
 
 void* dfio_loader_create(const char** paths, int64_t n_paths, int size,
@@ -367,19 +453,24 @@ void* dfio_loader_create(const char** paths, int64_t n_paths, int size,
 int64_t dfio_loader_load(void* handle, const int64_t* ids, int64_t n,
                          float* out) {
   Loader* L = static_cast<Loader*>(handle);
+  // ctypes releases the GIL for the duration of this call, so two Python
+  // threads sharing one loader would otherwise overwrite each other's request
+  // state mid-flight; whole requests serialize here
+  std::lock_guard<std::mutex> req_lk(L->req_mu);
+  if (n <= 0) return 0;
   {
     std::unique_lock<std::mutex> lk(L->mu);
     L->req_ids = ids;
     L->req_out = out;
     L->req_n = n;
-    L->done.store(0);
+    L->done = 0;
     L->failed.store(0);
     for (int64_t i = 0; i < n; ++i) L->work.push(i);
   }
   L->cv_work.notify_all();
   {
     std::unique_lock<std::mutex> lk(L->mu);
-    L->cv_done.wait(lk, [&] { return L->done.load() == n; });
+    L->cv_done.wait(lk, [&] { return L->done == n; });
   }
   return L->failed.load();
 }

@@ -83,3 +83,89 @@ def test_batch_loader(images):
 def test_prepare_missing_file_raises():
     with pytest.raises(IOError):
         native.prepare_image("/nonexistent/xx.jpg", size=16)
+
+
+def test_loader_closed_handle_raises(images):
+    jpg, png = images
+    loader = native.NativeCatalogLoader([jpg, png], size=32)
+    loader.close()
+    with pytest.raises(ValueError, match="closed"):
+        loader.load([0])
+
+
+def test_loader_surfaces_failed_count(images, caplog):
+    import logging
+
+    jpg, _ = images
+    loader = native.NativeCatalogLoader([jpg, "/nonexistent/x.jpg"], size=32)
+    try:
+        with caplog.at_level(logging.WARNING, logger="difashion_tpu"):
+            out = loader.load([0, 1, 1])
+        assert loader.last_failed == 2
+        assert (out[1] == 1.0).all() and (out[2] == 1.0).all()  # white null
+        assert any("2/3 decodes failed" in r.message for r in caplog.records)
+    finally:
+        loader.close()
+
+
+def test_loader_concurrent_requests_serialize(images):
+    """Two Python threads sharing one loader (ctypes drops the GIL): requests
+    must serialize, each returning its own correct images."""
+    import threading
+
+    jpg, png = images
+    loader = native.NativeCatalogLoader([jpg, png], size=32)
+    try:
+        ref0 = loader.load([0] * 8)
+        ref1 = loader.load([1] * 8)
+        results = {}
+
+        def go(name, ids, ref):
+            for _ in range(10):
+                out = loader.load(ids)
+                if not np.array_equal(out, ref):
+                    results[name] = "MISMATCH"
+                    return
+            results[name] = "ok"
+
+        t0 = threading.Thread(target=go, args=("a", [0] * 8, ref0))
+        t1 = threading.Thread(target=go, args=("b", [1] * 8, ref1))
+        t0.start(); t1.start()
+        t0.join(60); t1.join(60)
+        assert results == {"a": "ok", "b": "ok"}, results
+    finally:
+        loader.close()
+
+
+def test_cmyk_jpeg_decodes(images, tmp_path):
+    """Adobe CMYK JPEGs (commercial product imagery) decode instead of silently
+    becoming the white null; values match PIL's CMYK->RGB within resample noise."""
+    rng = np.random.RandomState(7)
+    rgb = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "cmyk.jpg")
+    Image.fromarray(rgb).convert("CMYK").save(p, quality=95)
+    got = native.prepare_image(p, size=32)
+    want = _pil_prepare(p, 32)
+    # same noise envelope as the RGB-JPEG parity test: decode + rounding LSBs
+    assert np.abs(got - want).mean() < 0.01, np.abs(got - want).mean()
+    assert np.abs(got - want).max() < 0.2, np.abs(got - want).max()
+
+
+def test_make_item_loader_fallback_matches_native(images, monkeypatch, tmp_path):
+    """With the .so unavailable, the PIL fallback must produce the SAME pixels as
+    the native pipeline (same composite/pad/Lanczos path)."""
+    from difashion_tpu.cli.extract_features import make_item_loader
+
+    jpg, png = images
+    folder = os.path.dirname(jpg)
+    paths = np.array([os.path.basename(jpg), os.path.basename(png)], dtype=object)
+
+    native_loader = make_item_loader(folder, paths, size=32)
+    a0, a1 = native_loader(0), native_loader(1)
+
+    monkeypatch.setattr(native, "native_available", lambda: False)
+    pil_loader = make_item_loader(folder, paths, size=32)
+    b0, b1 = pil_loader(0), pil_loader(1)
+    # same pipeline both sides; only decode/compositing rounding LSBs remain
+    assert np.abs(a0 - b0).mean() < 0.01 and np.abs(a0 - b0).max() < 0.2
+    assert np.abs(a1 - b1).mean() < 0.01 and np.abs(a1 - b1).max() < 0.2
