@@ -23,6 +23,41 @@ _LIB_PATH = os.path.join(
 _lib = None
 
 
+_SRC_PATH = os.path.join(os.path.dirname(_LIB_PATH), "difashion_io.cc")
+
+
+def _source_hash() -> str:
+    import hashlib
+
+    with open(_SRC_PATH, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _check_freshness(lib) -> None:
+    """Refuse a stale binary: the .so embeds the sha256 of the .cc it was built
+    from (see native/Makefile); if it doesn't match the on-disk source, callers
+    fall back to the PIL pipeline instead of silently running old native code.
+    (Round 3 shipped a stale .so whose committed source had fixes the binary
+    lacked — this guard makes that class of skew impossible.)"""
+    try:
+        lib.dfio_source_hash.restype = ctypes.c_char_p
+        built_from = lib.dfio_source_hash().decode()
+    except AttributeError:
+        built_from = "<pre-hash binary>"
+    if not os.path.exists(_SRC_PATH):
+        return  # installed without source; trust the binary
+    current = _source_hash()
+    if built_from != current:
+        import logging
+
+        logging.getLogger("difashion_tpu").warning(
+            "native library %s is STALE (built from source hash %s, on-disk "
+            "source is %s) — falling back to the PIL pipeline. Rebuild with "
+            "`make -C native`.", _LIB_PATH, built_from[:12], current[:12],
+        )
+        raise OSError(f"stale native library: {_LIB_PATH} (run `make -C native`)")
+
+
 def _load():
     global _lib
     if _lib is not None:
@@ -30,6 +65,7 @@ def _load():
     if not os.path.exists(_LIB_PATH):
         raise OSError(f"native library not built: {_LIB_PATH} (run `make -C native`)")
     lib = ctypes.CDLL(_LIB_PATH)
+    _check_freshness(lib)
     lib.dfio_prepare_image.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float)
     ]

@@ -386,6 +386,14 @@ struct Loader {
 
 extern "C" {
 
+// SHA-256 of the .cc this binary was built from, injected by the Makefile.
+// data/native.py compares it against the on-disk source so a stale committed
+// .so can never silently shadow newer source (round-3 shipped exactly that bug).
+#ifndef DFIO_SOURCE_HASH
+#define DFIO_SOURCE_HASH "unknown"
+#endif
+const char* dfio_source_hash(void) { return DFIO_SOURCE_HASH; }
+
 // One-shot synchronous prep of a single image file.
 int dfio_prepare_image(const char* path, int size, float* out) {
   return prepare_catalog(path, size, out) ? 1 : 0;

@@ -246,8 +246,10 @@ def test_in_training_validation_sampling(tmp_path):
     samples = tmp_path / "logs" / "samples"
     runs = os.listdir(samples)
     assert any(r.startswith("step-2") for r in runs), runs
+    # the samples dir also holds the manifest (.npy) and the reproducibility
+    # sidecar (.config.json) — select the run *directory* only
     run_dir = samples / [r for r in runs if r.startswith("step-2")
-                         and not r.endswith(".npy")][0]
+                         and os.path.isdir(samples / r)][0]
     man = np.load(str(run_dir) + ".npy", allow_pickle=True).item()
     first = next(iter(next(iter(man.values())).values()))
     assert os.path.exists(first["image_paths"][0])

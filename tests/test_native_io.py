@@ -169,3 +169,27 @@ def test_make_item_loader_fallback_matches_native(images, monkeypatch, tmp_path)
     # same pipeline both sides; only decode/compositing rounding LSBs remain
     assert np.abs(a0 - b0).mean() < 0.01 and np.abs(a0 - b0).max() < 0.2
     assert np.abs(a1 - b1).mean() < 0.01 and np.abs(a1 - b1).max() < 0.2
+
+
+def test_stale_binary_is_refused(monkeypatch):
+    """A .so whose embedded source hash mismatches the on-disk .cc must be
+    refused (native_available() -> False), so the PIL fallback takes over
+    instead of silently running outdated native code."""
+    lib = native._load()
+    assert lib.dfio_source_hash().decode() == native._source_hash()
+
+    monkeypatch.setattr(native, "_source_hash", lambda: "0" * 64)
+    monkeypatch.setattr(native, "_lib", None)
+    with pytest.raises(OSError, match="stale native library"):
+        native._load()
+    assert not native.native_available()
+    monkeypatch.setattr(native, "_lib", None)  # don't leave a cached None
+
+
+def test_binary_hash_matches_committed_source():
+    """The committed binary must be built from the committed source — the exact
+    skew round 3 shipped."""
+    lib = native._load()
+    assert lib.dfio_source_hash().decode() == native._source_hash(), (
+        "committed libdifashion_io.so is stale; run `make -C native` and commit"
+    )
