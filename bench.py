@@ -75,7 +75,7 @@ def main():
     from difashion_tpu.engine import (
         GenerationInputs,
         build_sampler,
-        decode_and_postprocess,
+        decode_to_uint8,
         make_guidance_spec,
     )
     from difashion_tpu.models.clip_text import CLIPTextEncoder
@@ -155,9 +155,14 @@ def main():
         sampler = build_sampler(model, num_inference_steps=steps, spec=spec,
                                 eta=0.1, scheduler=scheduler)
 
+        # Same fused executable GenerationPipeline dispatches: scan + VAE decode
+        # + on-device uint8 quantization (round 4). Donation is NOT used here
+        # because the bench reuses one input pytree across iterations; the
+        # pipeline's donate_argnums only enables aliasing, it doesn't change
+        # the measured device work.
         def run(params, inputs):
             lat = sampler(params, inputs)
-            return decode_and_postprocess(model, params, lat)
+            return decode_to_uint8(model, params, lat)
 
         jitted = jax.jit(run)
         imgs = jitted(params, inputs)                      # compile + warmup

@@ -3,6 +3,7 @@ from difashion_tpu.engine.generate import (
     GuidanceSpec,
     build_sampler,
     decode_and_postprocess,
+    decode_to_uint8,
     make_guidance_spec,
 )
 from difashion_tpu.engine.train import (
@@ -21,6 +22,7 @@ __all__ = [
     "GuidanceSpec",
     "build_sampler",
     "decode_and_postprocess",
+    "decode_to_uint8",
     "make_guidance_spec",
     "EMAState",
     "TrainBatch",

@@ -303,3 +303,13 @@ def decode_and_postprocess(model: DiFashionModel, params, latents) -> jnp.ndarra
     `image_processor.postprocess(..., do_denormalize=True)`)."""
     imgs = model.decode_latents(params, latents)
     return jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+def decode_to_uint8(model: DiFashionModel, params, latents) -> jnp.ndarray:
+    """`decode_and_postprocess` + the uint8 quantization ON DEVICE (bit-identical
+    formula to `data.preprocessing.denormalize_to_uint8`: scale, +0.5, clip,
+    truncate). Keeping the quantization in the same dispatch as the sampler scan
+    shrinks the device->host image transfer 4x (uint8 instead of fp32) — part of
+    the round-4 e2e-overhead harvest."""
+    imgs = decode_and_postprocess(model, params, latents)
+    return jnp.clip(imgs * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)

@@ -32,7 +32,6 @@ import numpy as np
 
 from difashion_tpu.core.config import Config
 from difashion_tpu.data.datasets import HistLatentStore, OutfitTable
-from difashion_tpu.data.preprocessing import denormalize_to_uint8
 from difashion_tpu.data.prompts import build_train_prompts
 from difashion_tpu.engine.generate import (
     GenerationInputs,
@@ -123,14 +122,30 @@ class GenerationPipeline:
             text_fn(params, jnp.asarray(null_ids)), np.float32
         )[0]
 
-        self._sampler = jax.jit(build_sampler(
+        # ONE fused dispatch: 50-step scan + VAE decode + on-device uint8
+        # quantization. One executable instead of two removes an inter-dispatch
+        # HBM round-trip of the latents, and uint8 output shrinks the
+        # device->host image transfer 4x. Inputs are donated — each batch's
+        # GenerationInputs buffers are fresh (prepare_batch builds them) and
+        # never read after dispatch, so XLA may alias them (e.g. init_latents
+        # becomes the scan carry in place).
+        sampler = build_sampler(
             model,
             num_inference_steps=g.num_inference_steps,
             spec=self.spec,
             eta=g.eta,
             scheduler=g.scheduler,
             ddim_eta=g.ddim_eta,
-        ))
+        )
+
+        def _run(p, inputs):
+            from difashion_tpu.engine.generate import decode_to_uint8
+
+            return decode_to_uint8(model, p, sampler(p, inputs))
+
+        self._sample_decode = jax.jit(_run, donate_argnums=(1,))
+        # kept for callers/tests that want raw latents or [0,1] images
+        self._sampler = jax.jit(sampler)
         self._decode = jax.jit(
             lambda p, lat: decode_and_postprocess(model, p, lat)
         )
@@ -241,16 +256,16 @@ class GenerationPipeline:
 
     def generate_batch(self, prep: PreparedBatch) -> np.ndarray:
         """-> uint8 images [F, H, W, 3] (pad rows included; filter with prep.valid)."""
-        return denormalize_to_uint8(np.asarray(self.dispatch_batch(prep)))
+        return np.asarray(self.dispatch_batch(prep))
 
     def dispatch_batch(self, prep: PreparedBatch):
-        """Async dispatch of sampler + decode; returns the device array WITHOUT
-        host sync. jax dispatch is asynchronous, so the caller can enqueue the
-        next batch's scan before fetching this one — the host JPEG/manifest work
-        and the device->host transfer then overlap the next batch's denoising
-        (the e2e-vs-per-step gap closed in round 3)."""
-        lat = self._sampler(self.params, prep.inputs)
-        return self._decode(self.params, lat)
+        """Async dispatch of the fused sampler+decode+uint8 executable; returns
+        the uint8 device array WITHOUT host sync. jax dispatch is asynchronous,
+        so the caller can enqueue the next batch's scan before fetching this one
+        — the host JPEG/manifest work and the device->host transfer then overlap
+        the next batch's denoising (the e2e-vs-per-step gap closed in round 3).
+        NOTE: prep.inputs is donated; don't reuse it after this call."""
+        return self._sample_decode(self.params, prep.inputs)
 
     def run(
         self,
@@ -316,7 +331,7 @@ class GenerationPipeline:
         def drain(pending):
             """Host side of one batch: fetch, JPEG-encode, manifests."""
             prep, imgs_dev = pending
-            imgs = denormalize_to_uint8(np.asarray(imgs_dev))
+            imgs = np.asarray(imgs_dev)   # already uint8 (quantized on device)
             self._save_batch(prep, imgs, run_dir, task, outputs, grds, grd_dict)
             np.save(run_dir + ".npy", np.array(outputs, dtype=object))
             if grd_dict is not None:
