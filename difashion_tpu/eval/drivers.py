@@ -15,6 +15,17 @@ pointers use negative ids for generated items (`eval_utils.py:575-584`); the ref
 `clip_og_retrieval_given_data` / call-site `clip_gor_retrieval_given_data` name mismatch
 (`eval_utils.py:725` vs `evaluate_grounding_gor.py:255`) is resolved to the evident
 intent (one top-N retrieval routine).
+
+Deliberate DIVERGENCES from the reference (each logged loudly when hit):
+
+  * `EvalContext.hist_emb` falls back to the catalog-index-0 (white null image) CLIP
+    embedding when a (uid, cid) history entry is missing; the reference would KeyError
+    (`eval_utils.py:503-538` indexes precomputed dicts directly). Personalization scores
+    on sparse-history users therefore come from the null embedding instead of crashing;
+    every fallback is counted and WARNING-logged, and the count is recorded in the
+    results dict as `personal_sim_null_fallbacks` so a skew is visible in the artifact.
+  * drivers skip metrics whose required assets are absent (availability-aware want
+    lists) instead of crashing on the reference's hard file loads.
 """
 from __future__ import annotations
 
@@ -63,6 +74,7 @@ class EvalContext:
     cate_iid_dict: Optional[dict] = None                 # {cid: [iids]}
     cid_to_label: Optional[dict] = None                  # {cid: class row}
     img_size: int = 512
+    hist_emb_fallbacks: int = 0   # null-embedding substitutions (divergence note)
 
     def label_of(self, cid: int) -> int:
         if self.cid_to_label is not None:
@@ -70,12 +82,40 @@ class EvalContext:
         return sorted(self.id_cate_dict).index(cid)
 
     def hist_emb(self, uid: int, cid: int) -> np.ndarray:
+        """Per-(user, category) mean history CLIP embedding.
+
+        DIVERGENCE (see module header): a missing (uid, cid) entry falls back to
+        the catalog-index-0 (white null image) embedding instead of the
+        reference's KeyError (`eval_utils.py:503-538`). Counted in
+        `self.hist_emb_fallbacks` and WARNING-logged so the skew is never silent.
+        """
         h = (self.history_clipembs or {}).get(uid, {})
         if cid in h:
             return np.asarray(h[cid], np.float32)
         if self.cnn_features_clip is not None:
+            self.hist_emb_fallbacks += 1
+            import logging
+
+            logging.getLogger("difashion_tpu").warning(
+                "no history CLIP embedding for uid=%d cid=%d — using the null-"
+                "image embedding (reference would KeyError); personal_sim for "
+                "this item is against the null image", uid, cid,
+            )
             return np.asarray(self.cnn_features_clip[0], np.float32)
         raise KeyError(f"no history embedding for uid={uid} cid={cid}")
+
+
+
+def _put_personal_sim(sink, ctx: EvalContext, emb, uids, cates) -> None:
+    """personal_sim + record how many rows used the null-embedding fallback
+    (divergence note in the module header): `personal_sim_null_fallbacks`
+    lands in eval_results.npy next to the score it can skew."""
+    before = ctx.hist_emb_fallbacks
+    hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
+    sink.put("personal_sim", personalization_sim(emb, hist))
+    n = ctx.hist_emb_fallbacks - before
+    if n:
+        sink.put("personal_sim_null_fallbacks", int(n))
 
 
 class _ResultSink:
@@ -245,8 +285,7 @@ def evaluate_fitb(
     if not sink.has("lpips"):
         sink.put("lpips", float(np.mean(stream_lpips(X, gen_loader, grd_loader, N))))
     if not sink.has("personal_sim") and can_personal:
-        hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
-        sink.put("personal_sim", personalization_sim(gen_emb, hist))
+        _put_personal_sim(sink, ctx, gen_emb, uids, cates)
     need_c = not sink.has("compatibility")
     need_g = not sink.has("grd_compatibility")
     if (need_c or need_g) and can_compat:
@@ -364,8 +403,7 @@ def evaluate_gor(
             )))
 
     if not sink.has("personal_sim") and can_personal:
-        hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
-        sink.put("personal_sim", personalization_sim(gen_emb, hist))
+        _put_personal_sim(sink, ctx, gen_emb, uids, cates)
 
     need_c = not sink.has("compatibility")
     need_g = not sink.has("grd_compatibility")
@@ -448,8 +486,7 @@ def evaluate_grounding_fitb(
     if not sink.has("lpips"):
         sink.put("lpips", float(np.mean(stream_lpips(X, ret_loader, grd_loader, N))))
     if not sink.has("personal_sim") and ctx.history_clipembs is not None:
-        hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
-        sink.put("personal_sim", personalization_sim(ret_emb, hist))
+        _put_personal_sim(sink, ctx, ret_emb, uids, cates)
     if not sink.has("compatibility"):
         # one row per (uid, oid); each blank gets its own image's retrieved item
         # (multi-blank outfits — see the evaluate_fitb compat note)
@@ -517,8 +554,7 @@ def evaluate_grounding_gor(
         prompts = [eval_prompt(ctx.id_cate_dict[c]) for c in cates]
         sink.put("clip_score", clip_score(ret_emb, X.clip_text_embs(prompts)))
     if not sink.has("personal_sim") and ctx.history_clipembs is not None:
-        hist = np.stack([ctx.hist_emb(u, c) for u, c in zip(uids, cates)])
-        sink.put("personal_sim", personalization_sim(ret_emb, hist))
+        _put_personal_sim(sink, ctx, ret_emb, uids, cates)
     if not sink.has("compatibility"):
         rows, k = [], 0
         for uid, by_oid in manifest.items():

@@ -205,3 +205,37 @@ def test_result_sink_atomic_write(tmp_path):
     assert not os.path.exists(out + ".tmp.npy")   # replaced, not left behind
     again = _ResultSink(out, "run-a")
     assert again.results()["fid"] == 1.25
+
+
+def test_hist_emb_null_fallback_is_counted_and_logged(ctx, caplog):
+    """The documented divergence (module header): a missing (uid, cid) history
+    entry substitutes the null-image embedding — WARNING-logged and counted, so
+    the personal_sim skew is visible instead of silent."""
+    import logging
+
+    before = ctx.hist_emb_fallbacks
+    with caplog.at_level(logging.WARNING, logger="difashion_tpu"):
+        emb = ctx.hist_emb(999, 3)   # uid 999 has no history at all
+    np.testing.assert_array_equal(emb, ctx.cnn_features_clip[0])
+    assert ctx.hist_emb_fallbacks == before + 1
+    assert any("null" in r.message for r in caplog.records)
+
+    # present entries don't count
+    ctx.hist_emb(1, 1)
+    assert ctx.hist_emb_fallbacks == before + 1
+
+
+def test_personal_sim_fallback_count_lands_in_results(ctx, tmp_path):
+    """A FITB eval over a manifest with an unknown uid must record
+    personal_sim_null_fallbacks next to personal_sim in eval_results.npy."""
+    run, grd, cands = _make_manifest(tmp_path, "FITB")
+    # rewrite the manifest under an unknown user (uid 77 has no history)
+    man = np.load(run + ".npy", allow_pickle=True).item()
+    man77 = {77: {oid: rec for by_oid in man.values()
+                  for oid, rec in by_oid.items()}}
+    np.save(run + ".npy", np.array(man77, dtype=object))
+    ctx.retrieval_candidates = None
+    res = evaluate_fitb(run, ctx, grd,
+                        out_path=str(tmp_path / "eval_results.npy"))
+    assert "personal_sim" in res
+    assert res.get("personal_sim_null_fallbacks", 0) >= 1
