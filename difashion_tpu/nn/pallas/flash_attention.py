@@ -173,7 +173,18 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         )
         return dq + dq_inc
 
-    dq = jax.lax.fori_loop(0, num_kv, body, jnp.zeros((block_q, d), jnp.float32))
+    # Static unroll for the same reason as _fwd_kernel: a fori_loop body
+    # serializes the VPU exp2/mask work against the three MXU dots; unrolling
+    # lets Mosaic software-pipeline them across KV blocks (the forward's 1.7x).
+    iter_bytes = block_q * block_kv * 14 + block_q * d * 4
+    kv_bytes = 2 * kv_padded * d * jnp.dtype(k_ref.dtype).itemsize
+    dq0 = jnp.zeros((block_q, d), jnp.float32)
+    if num_kv <= 16 and kv_bytes + num_kv * iter_bytes <= 48 * 1024 * 1024:
+        dq = dq0
+        for i in range(num_kv):
+            dq = body(i, dq)
+    else:
+        dq = jax.lax.fori_loop(0, num_kv, body, dq0)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -213,7 +224,18 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
         return dk + dk_inc, dv + dv_inc
 
     z = jnp.zeros(k.shape, jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_q, body, (z, z))
+    # Static unroll (see _dq_kernel): pipeline the per-Q-block VPU work against
+    # the four MXU dots. Resident q/do are [q_padded, d] here, so the budget
+    # check counts them instead of K/V.
+    d = k.shape[-1]
+    iter_bytes = block_q * block_kv * 14 + block_kv * d * 8
+    q_bytes = 2 * q_padded * d * jnp.dtype(q_ref.dtype).itemsize
+    if num_q <= 16 and q_bytes + num_q * iter_bytes <= 48 * 1024 * 1024:
+        dk, dv = z, z
+        for i in range(num_q):
+            dk, dv = body(i, (dk, dv))
+    else:
+        dk, dv = jax.lax.fori_loop(0, num_q, body, (z, z))
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -294,21 +316,24 @@ def _backward(q, k, v, o, lse, do, scale, block_q, block_kv, interpret, kv_len):
 # custom-vjp core over padded [bh, S, d] arrays
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_core(q, k, v, scale, block_q, block_kv, interpret, kv_len):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_core(q, k, v, scale, block_q, block_kv, interpret, kv_len,
+                bwd_block_q, bwd_block_kv):
     o, _ = _forward(q, k, v, scale, block_q, block_kv, interpret, kv_len)
     return o
 
 
-def _flash_core_fwd(q, k, v, scale, block_q, block_kv, interpret, kv_len):
+def _flash_core_fwd(q, k, v, scale, block_q, block_kv, interpret, kv_len,
+                    bwd_block_q, bwd_block_kv):
     o, lse = _forward(q, k, v, scale, block_q, block_kv, interpret, kv_len)
     return o, (q, k, v, o, lse)
 
 
-def _flash_core_bwd(scale, block_q, block_kv, interpret, kv_len, res, do):
+def _flash_core_bwd(scale, block_q, block_kv, interpret, kv_len, bwd_block_q,
+                    bwd_block_kv, res, do):
     q, k, v, o, lse = res
-    return _backward(q, k, v, o, lse, do, scale, block_q, block_kv, interpret,
-                     kv_len)
+    return _backward(q, k, v, o, lse, do, scale, bwd_block_q, bwd_block_kv,
+                     interpret, kv_len)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -323,6 +348,10 @@ import os as _os
 # scoped-VMEM limit.
 _DEFAULT_BLOCK_KV = int(_os.environ.get("DIFASHION_FLASH_BLOCK_KV", "512"))
 _DEFAULT_BLOCK_Q = int(_os.environ.get("DIFASHION_FLASH_BLOCK_Q", "512"))
+# Backward schedules default to the forward's; override for A/B sweeps
+# (tools/bench_flash.py --bwd). 0 = inherit.
+_DEFAULT_BWD_BLOCK_Q = int(_os.environ.get("DIFASHION_FLASH_BWD_BLOCK_Q", "0"))
+_DEFAULT_BWD_BLOCK_KV = int(_os.environ.get("DIFASHION_FLASH_BWD_BLOCK_KV", "0"))
 
 
 def flash_attention(
@@ -333,12 +362,16 @@ def flash_attention(
     block_q: int = _DEFAULT_BLOCK_Q,
     block_kv: int = _DEFAULT_BLOCK_KV,
     interpret: bool = False,
+    bwd_block_q: int | None = None,
+    bwd_block_kv: int | None = None,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention with Pallas forward + backward.
 
     Args:
       q: [B, H, Sq, D]
       k, v: [B, H, Skv, D] (Skv may be ragged, e.g. 77 text tokens; padded + masked)
+      bwd_block_q/kv: independent schedule for the dQ/dKV kernels (default: the
+        forward's). Must divide the forward's padded lengths; clamped if not.
     Returns: [B, H, Sq, D], dtype of q. Differentiable w.r.t. q/k/v.
     """
     b, h, sq, d = q.shape
@@ -356,6 +389,18 @@ def flash_attention(
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_kv)
 
+    if bwd_block_q is None:
+        bwd_block_q = _DEFAULT_BWD_BLOCK_Q or block_q
+    if bwd_block_kv is None:
+        bwd_block_kv = _DEFAULT_BWD_BLOCK_KV or block_kv
+    if d >= 256:
+        bwd_block_q = min(bwd_block_q, 256)
+    # bwd blocks must tile the fwd-padded lengths exactly
+    while sq_pad % bwd_block_q:
+        bwd_block_q //= 2
+    while skv_pad % bwd_block_kv:
+        bwd_block_kv //= 2
+
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
@@ -365,5 +410,6 @@ def flash_attention(
         kf = jnp.pad(kf, [(0, 0), (0, skv_pad - skv), (0, 0)])
         vf = jnp.pad(vf, [(0, 0), (0, skv_pad - skv), (0, 0)])
 
-    out = _flash_core(qf, kf, vf, scale, block_q, block_kv, interpret, skv)
+    out = _flash_core(qf, kf, vf, scale, block_q, block_kv, interpret, skv,
+                      bwd_block_q, bwd_block_kv)
     return out[:, :sq, :].reshape(b, h, sq, d)

@@ -104,3 +104,46 @@ def test_sdpa_dispatch_equivalence():
     a = sdpa(q, k, v, use_flash=False)
     b = flash_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("bwd_bq,bwd_bkv", [(64, 128), (128, 64), (256, 128)])
+def test_flash_backward_independent_bwd_blocks(bwd_bq, bwd_bkv):
+    """dQ/dKV schedules decoupled from the forward's (round-4 bwd sweep knob):
+    any valid (bwd_block_q, bwd_block_kv) must produce identical gradients."""
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (1, 2, 256, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 2, 256, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 2, 256, 64), jnp.float32)
+
+    def loss(bq, bkv):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(jnp.sin(flash_attention(
+                q, k, v, block_q=128, block_kv=128, interpret=True,
+                bwd_block_q=bq, bwd_block_kv=bkv))),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+
+    base = loss(None, None)
+    alt = loss(bwd_bq, bwd_bkv)
+    for a, b_ in zip(base, alt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_flash_backward_ragged_kv_with_bwd_blocks():
+    """Ragged 77-token KV through non-default bwd schedules keeps the mask."""
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    q = jax.random.normal(ks[0], (1, 1, 256, 32), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 1, 77, 32), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 1, 77, 32), jnp.float32)
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(flash_attention(
+            q, k, v, block_q=128, block_kv=128, interpret=True,
+            bwd_block_q=64, bwd_block_kv=128))),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(jnp.sin(_ref(q, k, v))),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)

@@ -56,6 +56,51 @@ def attn_flops(b, h, sq, skv, d):
     return 4 * b * h * sq * skv * d
 
 
+def bench_bwd(fn, q, k, v, reps=8, iters=5):
+    """Time the full VJP (dq+dk+dv) of fn, device-looped to amortize RTT."""
+    def one(q, k, v):
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32))
+        def body(_, carry):
+            dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            return (carry[0] + dq, carry[1] + dk, carry[2] + dv)
+        z = (jnp.zeros_like(q), jnp.zeros_like(k), jnp.zeros_like(v))
+        return jax.lax.fori_loop(0, reps, body, z)
+    f = jax.jit(one)
+    sync(f(q, k, v)[0])
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(f(q, k, v)[0])
+        ts.append((time.perf_counter() - t0) / reps)
+    return min(ts)
+
+
+def run_bwd_case(name, b, h, sq, skv, d, blocks, iters):
+    """Sweep (bwd_block_q, bwd_block_kv) with the production fwd schedule held
+    fixed; the measured time includes fwd+dq+dkv (the VJP re-runs fwd), so only
+    deltas between rows matter. Also times the XLA-autodiff SDPA for reference."""
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, skv, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, skv, d), jnp.bfloat16)
+    fl = 2.5 * attn_flops(b, h, sq, skv, d)   # bwd ~2.5x fwd FLOPs
+    rows = []
+    for (bq, bkv) in blocks:
+        fn = functools.partial(flash_attention, bwd_block_q=bq, bwd_block_kv=bkv)
+        dt = bench_bwd(fn, q, k, v, iters=iters)
+        rows.append((f"vjp bwd_bq={bq} bwd_bkv={bkv}", dt))
+        print(f"{name:8s} vjp bwd_bq={bq:4d} bwd_bkv={bkv:4d}: "
+              f"{dt*1e3:7.3f} ms  {fl/dt/1e12:6.1f} TFLOP/s(eff)", flush=True)
+    dt = bench_bwd(xla_sdpa, q, k, v, iters=iters)
+    rows.append(("xla sdpa vjp", dt))
+    print(f"{name:8s} xla sdpa vjp          : {dt*1e3:7.3f} ms  "
+          f"{fl/dt/1e12:6.1f} TFLOP/s(eff)", flush=True)
+    best = min(rows, key=lambda r: r[1])
+    print(f"{name:8s} BEST: {best[0]} ({best[1]*1e3:.3f} ms)", flush=True)
+
+
 def xla_sdpa(q, k, v):
     import math
     scale = 1.0 / math.sqrt(q.shape[-1])
@@ -90,8 +135,26 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--case", default="all")
+    p.add_argument("--bwd", action="store_true",
+                   help="sweep the backward (dQ/dKV) schedules instead")
     args = p.parse_args()
     want = lambda c: args.case in ("all", c)
+
+    if args.bwd:
+        if want("self64"):   # the 68 ms/step train bucket lives here
+            run_bwd_case("self64", 16, 5, 4096, 4096, 64,
+                         [(512, 512), (256, 512), (512, 256), (1024, 512),
+                          (512, 1024), (256, 256), (2048, 512)],
+                         args.iters)
+        if want("self32"):
+            run_bwd_case("self32", 16, 10, 1024, 1024, 64,
+                         [(512, 512), (256, 512), (1024, 512), (1024, 1024)],
+                         args.iters)
+        if want("cross"):
+            run_bwd_case("cross64", 16, 5, 4096, 77, 64,
+                         [(512, 128), (1024, 128), (2048, 128)],
+                         args.iters)
+        return
 
     if want("self64"):   # UNet 64x64 level: B16 H5 S4096 D64
         run_case("self64", 16, 5, 4096, 4096, 64,
