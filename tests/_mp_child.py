@@ -73,10 +73,67 @@ def run_one_step(mesh):
     return loss, flat
 
 
+def run_one_generation(mesh):
+    """One deterministic 5-step sharded generation over `mesh` (any process
+    layout). Returns the full gathered latents [F, h, w, C] as np.ndarray —
+    identical global inputs on every process (pure functions of fixed seeds),
+    so the multi-process run must equal the single-process one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from difashion_tpu.core.config import ModelConfig
+    from difashion_tpu.engine.generate import (
+        GenerationInputs,
+        build_sampler,
+        make_guidance_spec,
+        shard_generation_inputs,
+    )
+    from difashion_tpu.models.difashion import create_difashion
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = ModelConfig.tiny()
+    model, params = create_difashion(cfg, jax.random.PRNGKey(0))
+    B, olen = len(mesh.devices.flat), 4
+    hdim, C = cfg.unet.sample_size, cfg.vae.latent_channels
+    spec = make_guidance_spec(12.0, 4.0, 5.0)
+    sampler = jax.jit(
+        build_sampler(model, num_inference_steps=5, spec=spec, eta=0.1)
+    )
+    # Host numpy (not device arrays): device_put to a GLOBAL sharding requires
+    # process-identical host data under multiprocess; jax.random draws are
+    # deterministic, so every process materializes the same values.
+    rng = np.random.RandomState(13)
+    inputs = GenerationInputs(
+        init_latents=rng.randn(B * olen, hdim, hdim, C).astype(np.float32),
+        outfit_idx=np.repeat(np.arange(B, dtype=np.int32), olen),
+        known_latents=(rng.randn(B, olen, hdim, hdim, C) * 0.1
+                       ).astype(np.float32),
+        gen_mask=np.ones((B, olen), bool),
+        gen_index=np.arange(B * olen, dtype=np.int32).reshape(B, olen),
+        hist_latents=(rng.randn(B * olen, hdim, hdim, C) * 0.1
+                      ).astype(np.float32),
+        cate_text=np.zeros((B * olen, 77, cfg.text.hidden_size), np.float32),
+        null_text=np.zeros((77, cfg.text.hidden_size), np.float32),
+        null_latent=np.zeros((hdim, hdim, C), np.float32),
+    )
+    repl = NamedSharding(mesh, P())
+    params = jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), repl), params
+    )
+    lat = sampler(params, shard_generation_inputs(inputs, mesh))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(lat, tiled=True))
+    return np.asarray(lat)
+
+
 def main():
     process_id, num_processes, port, out = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -90,9 +147,14 @@ def main():
     from jax.sharding import Mesh
 
     mesh = Mesh(np.array(jax.devices()), ("dp",))
-    loss, flat = run_one_step(mesh)
-    if process_id == 0:
-        np.savez(out, __loss__=loss, **flat)
+    if mode == "generate":
+        lat = run_one_generation(mesh)
+        if process_id == 0:
+            np.savez(out, latents=lat)
+    else:
+        loss, flat = run_one_step(mesh)
+        if process_id == 0:
+            np.savez(out, __loss__=loss, **flat)
     jax.distributed.shutdown()
 
 

@@ -89,3 +89,54 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
             got[k], flat_sp[k], rtol=1e-3, atol=1e-5,
             err_msg=f"param {k} diverged between 2-process and single-process",
         )
+
+
+@pytest.mark.slow
+def test_two_process_sharded_generation_matches_single_process(tmp_path):
+    """Round-4 extension: the 5-step sharded SAMPLING path (not just training)
+    across two real processes equals the single-process 8-device run."""
+    port = _free_port()
+    out = str(tmp_path / "mpgen.npz")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CHILD, str(pid), "2", str(port), out, "generate"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            try:
+                o, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.skip("2-process generation run timed out on this box")
+            outputs.append(o)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, f"child failed:\n{o[-3000:]}"
+    assert os.path.exists(out), outputs[0][-3000:]
+    lat_mp = np.load(out)["latents"]
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from _mp_child import run_one_generation
+
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    lat_sp = run_one_generation(mesh)
+    assert lat_mp.shape == lat_sp.shape
+    # cross-process collectives (the mutual-condition psum/gather) may reduce in
+    # a different order than the single-process fused path
+    np.testing.assert_allclose(lat_mp, lat_sp, rtol=2e-5, atol=2e-5)
