@@ -1,0 +1,198 @@
+"""Mid-scale learning proof ON THE TPU: overfit a 128px DiFashion through the
+REAL CLIs with the PRODUCTION sampling path — full 4-branch CFG, 50-step PNDM,
+Pallas flash-attention kernels in both the train and sampling dispatches — and
+gate on image-space reconstruction of the memorized outfit.
+
+The CPU-tiny version of this proof lives in tests/test_learning_e2e.py (same
+dataset fixture, same gates); this runner scales it to a mid preset on real
+hardware, closing the "learning proof stops at toy scale" gap. Reference flow
+being proven: train.py -> inf4eval.py -> evaluate_*.py
+(`/root/reference/DiFashion/train.py:676-838`, `inf4eval.py:369`).
+
+Writes tools/logs/learning_proof_tpu.json (committed artifact) with the loss
+curve endpoints, per-slot reconstruction margins, and pass/fail gates.
+
+Usage: python tools/learning_proof_tpu.py [--workdir /tmp/lproof]
+       [--steps 900] [--img 128] [--inference_steps 50]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import numpy as np
+
+
+def mid_config(out_dir: str, img: int, steps: int, inf_steps: int):
+    """Topology-identical mid preset: img-px images, img/8 latents, d=64 heads
+    (the flash-kernel head size), full 4-branch CFG scales from the recipe."""
+    from difashion_tpu.core.config import (
+        CLIPTextConfig,
+        Config,
+        DataConfig,
+        GenerationConfig,
+        ModelConfig,
+        MutualEncoderConfig,
+        UNetConfig,
+        VAEConfig,
+    )
+
+    lat = img // 8
+    unet = UNetConfig(
+        sample_size=lat,
+        block_out_channels=(128, 256, 384, 384),
+        layers_per_block=1,
+        cross_attention_dim=256,
+        attention_head_dim=64,          # flash kernels' head size
+        norm_num_groups=32,
+    )
+    vae = VAEConfig(
+        block_out_channels=(32, 64, 128, 128),
+        layers_per_block=1,
+        norm_num_groups=16,
+        sample_size=img,
+    )
+    text = CLIPTextConfig(
+        vocab_size=1000, hidden_size=256, intermediate_size=512,
+        num_layers=4, num_heads=4,
+    )
+    mutual = MutualEncoderConfig(latent_channels=4, latent_size=lat, hid_dim=128)
+    model = ModelConfig(unet=unet, vae=vae, text=text, mutual=mutual)
+    cfg = Config(
+        model=model,
+        data=DataConfig(img_size=img),
+        generation=dataclasses.replace(
+            GenerationConfig(), num_inference_steps=inf_steps,
+            height=img, width=img, fitb_batch_size=4, gor_batch_size=2,
+        ),
+    )
+    return dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, output_dir=out_dir, checkpointing_steps=steps // 2,
+            train_batch_size=4, learning_rate=1e-3, max_train_steps=steps,
+        ),
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/lproof")
+    p.add_argument("--steps", type=int, default=900)
+    p.add_argument("--img", type=int, default=128)
+    p.add_argument("--inference_steps", type=int, default=50)
+    p.add_argument("--fitb_margin_gate", type=float, default=0.65)
+    p.add_argument("--gor_min_correct", type=int, default=14)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    print(f"backend: {jax.default_backend()} devices: {jax.devices()}",
+          flush=True)
+
+    from test_learning_e2e import OLEN, _write_dataset  # shared fixture
+
+    from difashion_tpu.cli import generate as generate_cli
+    from difashion_tpu.cli import train as train_cli
+    from difashion_tpu.cli.generate import load_model_for_inference, run_name
+    from difashion_tpu.data.preprocessing import denormalize_to_uint8
+    from difashion_tpu.engine.generate import decode_and_postprocess
+
+    wd = args.workdir
+    dpath, ckpt, gen_dir = (os.path.join(wd, d) for d in
+                            ("data", "ckpt", "gen"))
+    os.makedirs(wd, exist_ok=True)
+    cfg = mid_config(ckpt, args.img, args.steps, args.inference_steps)
+    scaled_latents = _write_dataset(dpath, cfg)
+    cfg_path = os.path.join(wd, "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    report = {"preset": {"img": args.img, "steps": args.steps,
+                         "inference_steps": args.inference_steps,
+                         "backend": jax.default_backend()}}
+
+    # ---- train in two legs (checkpoint + resume exercised), REAL CLI --------
+    t0 = time.time()
+    half = str(args.steps // 2)
+    train_cli.main(["--data_path", dpath, "--output_dir", ckpt,
+                    "--config", cfg_path, "--max_train_steps", half])
+    train_cli.main(["--data_path", dpath, "--output_dir", ckpt,
+                    "--config", cfg_path, "--resume_from_checkpoint", "latest"])
+    report["train_wall_s"] = round(time.time() - t0, 1)
+    losses = [json.loads(l)["loss"]
+              for l in open(os.path.join(ckpt, "metrics.jsonl"))]
+    report["loss_first"], report["loss_last"] = losses[0], losses[-1]
+    report["loss_fell"] = bool(losses[-1] < 0.6 * losses[0])
+    print(f"train: {args.steps} steps in {report['train_wall_s']}s, "
+          f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
+
+    # ---- generate FITB + GOR with EMA weights, 50-step PNDM, 4-branch CFG ---
+    t0 = time.time()
+    for task in ("FITB", "GOR"):
+        generate_cli.main([
+            "--data_path", dpath, "--ckpt_dir", ckpt, "--task", task,
+            "--mode", "test", "--output_dir", gen_dir, "--config", cfg_path,
+            "--allow_random_weights",
+        ])
+    report["generate_wall_s"] = round(time.time() - t0, 1)
+
+    # ---- reconstruction gates (image space, same rule as the suite test) ----
+    model, params, step = load_model_for_inference(cfg, ckpt)
+    cat_imgs = denormalize_to_uint8(np.asarray(jax.jit(
+        lambda p, l: decode_and_postprocess(model, p, l)
+    )(params, jnp.asarray(scaled_latents[1:5])))).astype(np.float32)
+
+    gates_ok = True
+    for task, margin_gate, min_correct in (
+            ("FITB", args.fitb_margin_gate, OLEN),
+            ("GOR", 0.8, args.gor_min_correct)):
+        run = os.path.join(gen_dir, run_name(task, step, cfg))
+        man = np.load(run + ".npy", allow_pickle=True).item()
+        n_checked = n_correct = 0
+        slots = []
+        for uid, per in man.items():
+            for oid, rec in per.items():
+                for i, pth in enumerate(rec["image_paths"]):
+                    img_arr = np.asarray(Image.open(pth), np.float32)
+                    tgt = rec["cates"][i]
+                    d = [float(np.mean((img_arr - cat_imgs[j]) ** 2))
+                         for j in range(4)]
+                    others = [d[j] for j in range(4) if j + 1 != tgt]
+                    ok = (int(np.argmin(d)) + 1 == tgt
+                          and d[tgt - 1] < margin_gate * min(others))
+                    n_checked += 1
+                    n_correct += int(ok)
+                    slots.append({"oid": int(oid), "slot": i, "target": int(tgt),
+                                  "dists": d, "ok": bool(ok)})
+        passed = n_correct >= min_correct
+        gates_ok = gates_ok and passed and report["loss_fell"]
+        report[task] = {"n_checked": n_checked, "n_correct": n_correct,
+                        "gate_min_correct": min_correct, "passed": passed,
+                        "slots": slots}
+        print(f"{task}: {n_correct}/{n_checked} slots reconstruct "
+              f"(gate {min_correct}) -> {'PASS' if passed else 'FAIL'}",
+              flush=True)
+
+    report["all_gates_passed"] = bool(gates_ok)
+    out = os.path.join(REPO, "tools", "logs", "learning_proof_tpu.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out}", flush=True)
+    sys.exit(0 if gates_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
