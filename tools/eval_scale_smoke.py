@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def synth(out: str, task: str, n_outfits: int, n_items: int, img: int) -> dict:
+def synth(out: str, task: str, n_outfits: int, n_items: int, img: int,
+          emb_dim: int = 1024) -> dict:
     """Build dataset dir + item images + generated-run tree. Returns paths."""
     from difashion_tpu.engine.pipeline import save_jpeg
 
@@ -62,7 +63,7 @@ def synth(out: str, task: str, n_outfits: int, n_items: int, img: int) -> dict:
             np.array(paths, dtype=object))
 
     # catalog CLIP features (the precomputed cnn_features_clip.npy input)
-    cnn = rng.randn(n_items, 1024).astype(np.float32)
+    cnn = rng.randn(n_items, emb_dim).astype(np.float32)
     cnn /= np.linalg.norm(cnn, axis=-1, keepdims=True)
     np.save(os.path.join(out, "cnn_features_clip.npy"), cnn)
 
@@ -148,11 +149,15 @@ def main():
     p.add_argument("--n_items", type=int, default=4000)
     p.add_argument("--img", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--emb_dim", type=int, default=None,
+                   help="catalog CLIP-feature dim (default: 1024, or 16 with --tiny)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny backbones (CPU-feasible plumbing check)")
     args = p.parse_args()
 
-    dirs = synth(args.out, args.task, args.n_outfits, args.n_items, args.img)
+    emb_dim = args.emb_dim or (16 if args.tiny else 1024)
+    dirs = synth(args.out, args.task, args.n_outfits, args.n_items,
+                 args.img, emb_dim=emb_dim)
 
     cmd = [
         sys.executable, "-m", "difashion_tpu", "evaluate",
