@@ -108,7 +108,9 @@ def run_training(
 
     dtype = jnp.bfloat16 if tcfg.mixed_precision == "bf16" else jnp.float32
     model, params = create_difashion(
-        cfg.model, init_rng, dtype=dtype, remat=tcfg.gradient_checkpointing
+        cfg.model, init_rng, dtype=dtype, remat=tcfg.gradient_checkpointing,
+        remat_policy=(tcfg.remat_policy if tcfg.remat_policy != "default"
+                      else None),
     )
     if pretrained_dir:
         from difashion_tpu.core.importer import import_sd_checkpoint

@@ -227,6 +227,12 @@ class TrainConfig:
     use_mutual_guidance: bool = True
     mixed_precision: str = "bf16"          # reference uses fp16; bf16 is TPU-native
     gradient_checkpointing: bool = False
+    # remat checkpoint policy when gradient_checkpointing is on. Measured
+    # single-process interleaved A/B at SD2-base scale (tools/bench_remat_ab.py,
+    # tools/logs/remat_ab_r4.log): dots_no_batch 0.3319 s/step vs default
+    # save-nothing 0.3459 (-4.1%); plain "dots" OOMs 16 GiB (saves batch-dim
+    # MXU outputs).
+    remat_policy: Optional[str] = "dots_no_batch"   # None | "dots" | "dots_no_batch"
     skip_nonfinite_updates: bool = True    # NaN/Inf grad guard: hold params, count skips
     # Parallelism
     dp_size: int = -1                      # -1 => all available devices
