@@ -341,17 +341,39 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 import os as _os
 
-# round-2 autotune (tools/bench_flash.py, v5e): block_q=512 x block_kv=512 is the
-# fastest schedule at the UNet's 4096-token level (5.9 ms vs 6.4 ms for the
-# whole-KV round-1 default) — the unrolled KV loop lets Mosaic overlap block i's
-# VPU softmax with block i+1's MXU QK dot. 1024-sized q blocks exceed the 16 MB
-# scoped-VMEM limit.
-_DEFAULT_BLOCK_KV = int(_os.environ.get("DIFASHION_FLASH_BLOCK_KV", "512"))
-_DEFAULT_BLOCK_Q = int(_os.environ.get("DIFASHION_FLASH_BLOCK_Q", "512"))
-# Backward schedules default to the forward's; override for A/B sweeps
-# (tools/bench_flash.py --bwd). 0 = inherit.
-_DEFAULT_BWD_BLOCK_Q = int(_os.environ.get("DIFASHION_FLASH_BWD_BLOCK_Q", "0"))
-_DEFAULT_BWD_BLOCK_KV = int(_os.environ.get("DIFASHION_FLASH_BWD_BLOCK_KV", "0"))
+# Autotuned block schedules, keyed on the query length (tools/bench_flash.py;
+# sweep logs in tools/logs/):
+#   * round 2 (16 MB default scoped VMEM): bq=512 x bkv=512 fastest at the
+#     UNet's 4096-token level — the unrolled KV loop lets Mosaic overlap block
+#     i's VPU softmax with block i+1's MXU QK dot; 1024-row blocks then
+#     exceeded scoped VMEM.
+#   * round 4 fwd re-sweep under the 100 MB vmem_limit_bytes every pallas_call
+#     now sets (_COMPILER_PARAMS): 1024x1024 beats 512x512 by 3.1% STANDALONE
+#     at 4096 tokens (5.978 vs 6.164 ms, B16 H5 D64) but loses IN CONTEXT —
+#     0.8-1.0% in-sampler whether applied globally or only at sq>=4096, and
+#     1.3% in the train step (0.3226 vs 0.3184 s) — so the forward keeps
+#     512x512 everywhere (tools/logs/flash_e2e_ab_r4.log, all four leg pairs).
+#   * round 4 bwd sweep (random-cotangent jax.vjp harness): at 4096 tokens the
+#     512x512 dQ/dKV schedule stays best (19.49 ms; 1024x1024 = 20.17 ms); at
+#     1024 tokens 1024x1024 wins 2% standalone (6.06 vs 6.18 ms) and the
+#     recipe train step confirms in context: 0.332 -> 0.3184 s/step (-4.1%,
+#     25.1 img/s/chip) with fwd pinned at 512.
+# Env vars override the table when set (0/unset = auto).
+_ENV_BLOCK_Q = int(_os.environ.get("DIFASHION_FLASH_BLOCK_Q", "0"))
+_ENV_BLOCK_KV = int(_os.environ.get("DIFASHION_FLASH_BLOCK_KV", "0"))
+_ENV_BWD_BLOCK_Q = int(_os.environ.get("DIFASHION_FLASH_BWD_BLOCK_Q", "0"))
+_ENV_BWD_BLOCK_KV = int(_os.environ.get("DIFASHION_FLASH_BWD_BLOCK_KV", "0"))
+
+
+def _pick_schedule(sq: int):
+    """(fwd_block_q, fwd_block_kv), (bwd_block_q, bwd_block_kv) for this shape."""
+    if sq >= 4096:
+        fwd, bwd = (512, 512), (512, 512)
+    else:
+        fwd, bwd = (512, 512), (1024, 1024)
+    fwd = (_ENV_BLOCK_Q or fwd[0], _ENV_BLOCK_KV or fwd[1])
+    bwd = (_ENV_BWD_BLOCK_Q or bwd[0], _ENV_BWD_BLOCK_KV or bwd[1])
+    return fwd, bwd
 
 
 def flash_attention(
@@ -359,8 +381,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = _DEFAULT_BLOCK_Q,
-    block_kv: int = _DEFAULT_BLOCK_KV,
+    block_q: int | None = None,
+    block_kv: int | None = None,
     interpret: bool = False,
     bwd_block_q: int | None = None,
     bwd_block_kv: int | None = None,
@@ -370,14 +392,21 @@ def flash_attention(
     Args:
       q: [B, H, Sq, D]
       k, v: [B, H, Skv, D] (Skv may be ragged, e.g. 77 text tokens; padded + masked)
-      bwd_block_q/kv: independent schedule for the dQ/dKV kernels (default: the
-        forward's). Must divide the forward's padded lengths; clamped if not.
+      block_q/block_kv, bwd_block_q/bwd_block_kv: schedule overrides (default:
+        the measured per-shape table, `_pick_schedule`). Backward blocks must
+        divide the forward's padded lengths; clamped if not.
     Returns: [B, H, Sq, D], dtype of q. Differentiable w.r.t. q/k/v.
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+
+    auto_fwd, auto_bwd = _pick_schedule(sq)
+    if block_q is None:
+        block_q = auto_fwd[0]
+    if block_kv is None:
+        block_kv = auto_fwd[1]
 
     # Wide heads (the VAE mid-attention's d=512) multiply every per-block
     # temporary by d/64; clamp the q block so q/o/acc tiles stay register-sized
@@ -390,9 +419,9 @@ def flash_attention(
     skv_pad = _round_up(skv, block_kv)
 
     if bwd_block_q is None:
-        bwd_block_q = _DEFAULT_BWD_BLOCK_Q or block_q
+        bwd_block_q = auto_bwd[0]
     if bwd_block_kv is None:
-        bwd_block_kv = _DEFAULT_BWD_BLOCK_KV or block_kv
+        bwd_block_kv = auto_bwd[1]
     if d >= 256:
         bwd_block_q = min(bwd_block_q, 256)
     # bwd blocks must tile the fwd-padded lengths exactly
