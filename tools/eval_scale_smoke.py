@@ -182,7 +182,7 @@ def main():
     wall = time.time() - t0
     # peak RSS of the child (the evaluate process), in bytes (linux: KiB units)
     peak = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss * 1024
-    print(json.dumps({
+    line = {
         "metric": f"eval_scale_smoke_{args.task}"
                   f"{'_grounding' if args.grounding else ''}",
         "n_outfits": args.n_outfits,
@@ -190,7 +190,20 @@ def main():
         "wall_s": round(wall, 1),
         "peak_rss_gib": round(peak / 2**30, 2),
         "returncode": r.returncode,
-    }), flush=True)
+    }
+    print(json.dumps(line), flush=True)
+    if not args.tiny:
+        # durable artifact (append: FITB and GOR legs accumulate)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        art = os.path.join(repo, "tools", "logs", "eval_scale_smoke_r4.json")
+        os.makedirs(os.path.dirname(art), exist_ok=True)
+        rows = []
+        if os.path.exists(art):
+            with open(art) as f:
+                rows = json.load(f)
+        rows.append(line)
+        with open(art, "w") as f:
+            json.dump(rows, f, indent=1)
     sys.exit(r.returncode)
 
 
