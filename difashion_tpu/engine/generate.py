@@ -274,15 +274,51 @@ def build_sampler(
     return sample
 
 
+def pad_generation_inputs(inputs: GenerationInputs, n: int) -> GenerationInputs:
+    """Pad the fill (F) and outfit (B) leading axes up to multiples of `n` with
+    inert rows (gen_mask False, zero latents/text, outfit_idx 0) so per-device
+    shards are even — the TPU-native answer to ragged FITB fill counts (XLA
+    wants static, evenly sharded leading axes; the reference instead runs a
+    ragged Python batch loop, `/root/reference/DiFashion/inf4eval.py:521-524`).
+
+    Inert rows never feed back into real slots: the mutual gather reads only
+    slots addressed by gen_mask/gen_index of REAL outfits, and padded outfits
+    have gen_mask all-False. Sampler output rows >= the original F are padding —
+    callers slice them off (`latents[:F]`)."""
+    F = int(inputs.init_latents.shape[0])
+    B = int(inputs.gen_mask.shape[0])
+    Fp = -(-F // n) * n
+    Bp = -(-B // n) * n
+    if Fp == F and Bp == B:
+        return inputs
+
+    def pad(x, new):
+        old = x.shape[0]
+        return jnp.pad(x, ((0, new - old),) + ((0, 0),) * (x.ndim - 1))
+
+    return inputs._replace(
+        init_latents=pad(inputs.init_latents, Fp),
+        outfit_idx=pad(inputs.outfit_idx, Fp),
+        hist_latents=pad(inputs.hist_latents, Fp),
+        cate_text=pad(inputs.cate_text, Fp),
+        known_latents=pad(inputs.known_latents, Bp),
+        gen_mask=pad(inputs.gen_mask, Bp),
+        gen_index=pad(inputs.gen_index, Bp),
+    )
+
+
 def shard_generation_inputs(inputs: GenerationInputs, mesh) -> GenerationInputs:
     """Place generation inputs for multi-chip DP sampling: per-fill arrays sharded on
     'dp' along their leading axis, per-outfit arrays likewise, broadcast conditions
     replicated. Outfits are contiguous in the fill list, so the mutual-condition
     gather stays shard-local for GOR and XLA inserts the (tiny) collectives for
-    mixed FITB batches. Params should be replicated by the caller.
+    mixed FITB batches. Ragged fill/outfit counts are padded to a mesh multiple
+    with inert rows (see pad_generation_inputs) — slice the sampler output back
+    to the original F. Params should be replicated by the caller.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    inputs = pad_generation_inputs(inputs, mesh.shape["dp"])
     dp = NamedSharding(mesh, P("dp"))
     repl = NamedSharding(mesh, P())
     return GenerationInputs(
