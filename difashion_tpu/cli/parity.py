@@ -138,6 +138,9 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--allow_random_weights", action="store_true",
                    help="test plumbing only — NEVER a real parity run")
+    p.add_argument("--table_out", default=None,
+                   help="also write the delta table as JSON (default: "
+                        "<out_dir>/parity_table.json)")
     args = p.parse_args(argv)
 
     log = setup_logging()
@@ -222,6 +225,25 @@ def main(argv=None):
     log.info("[parity 3/3] reference comparison for %s", this_run)
     rows = parity_table(ours, reference)
     ok = print_table(rows, log)
+    # durable artifact: the machine-readable delta table for the judge/runbook
+    table_out = args.table_out or os.path.join(args.out_dir, "parity_table.json")
+    tmp = table_out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({
+            "run": this_run,
+            "task": args.task,
+            "mode": args.mode,
+            "gated": list(GATED),
+            "gate_pct": GATE_PCT,
+            "rows": [
+                {"metric": k, "ours": o, "reference": r, "delta_pct": d,
+                 "gate": status}
+                for k, o, r, d, status in rows
+            ],
+            "ok": ok,
+        }, f, indent=1)
+    os.replace(tmp, table_out)
+    log.info("parity table written: %s", table_out)
     if reference and not ok:
         raise SystemExit("parity FAILED: gated metric outside the 2% window "
                          "or not measured")
