@@ -153,6 +153,9 @@ def main():
                    help="catalog CLIP-feature dim (default: 1024, or 16 with --tiny)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny backbones (CPU-feasible plumbing check)")
+    p.add_argument("--artifact", default=None,
+                   help="artifact JSONL path (default: tools/logs/"
+                        "eval_scale_smoke.jsonl in the repo)")
     args = p.parse_args()
 
     emb_dim = args.emb_dim or (16 if args.tiny else 1024)
@@ -193,17 +196,18 @@ def main():
     }
     print(json.dumps(line), flush=True)
     if not args.tiny:
-        # durable artifact (append: FITB and GOR legs accumulate)
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        art = os.path.join(repo, "tools", "logs", "eval_scale_smoke_r4.json")
-        os.makedirs(os.path.dirname(art), exist_ok=True)
-        rows = []
-        if os.path.exists(art):
-            with open(art) as f:
-                rows = json.load(f)
-        rows.append(line)
-        with open(art, "w") as f:
-            json.dump(rows, f, indent=1)
+        # durable artifact: JSONL append (atomic-enough, race-tolerant across
+        # concurrent FITB/GOR legs); persistence failures never change the
+        # exit code of a finished eval run.
+        try:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            art = args.artifact or os.path.join(
+                repo, "tools", "logs", "eval_scale_smoke.jsonl")
+            os.makedirs(os.path.dirname(art), exist_ok=True)
+            with open(art, "a") as f:
+                f.write(json.dumps(line) + "\n")
+        except OSError as e:
+            print(f"artifact append failed (ignored): {e}", file=sys.stderr)
     sys.exit(r.returncode)
 
 
