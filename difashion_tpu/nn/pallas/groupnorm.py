@@ -31,6 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BLOCK_LIMIT = 6 * 1024 * 1024
 
 
+def _affine_in_dtype() -> bool:
+    import os
+
+    return os.environ.get("DIFASHION_GN_BF16_AFFINE") == "1"
+
+
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float,
                     act: str):
     x = x_ref[0].astype(jnp.float32)                   # [S, C]
@@ -95,10 +101,18 @@ def _gn_silu_ref(x, scale, bias, groups: int, eps: float, act: str):
     rstd_c = jnp.repeat(rstd_g, cg, axis=-1)
     a = scale.astype(jnp.float32) * rstd_c
     b = bias.astype(jnp.float32) - mean_c * a
-    y = x.astype(jnp.float32) * a[:, None, :] + b[:, None, :]
-    # cast BEFORE the activation: the activation then runs in the compute dtype
-    # (bf16 on TPU) — half the VPU bytes, and exactly the unfused GN->silu numerics
-    y = y.astype(x.dtype)
+    if _affine_in_dtype() and x.dtype != jnp.float32:
+        # Opt-in A/B (DIFASHION_GN_BF16_AFFINE=1): apply the affine in the
+        # activation dtype. Stats/a/b stay fp32 (above); only the big [B,S,C]
+        # traversal drops to bf16 — half the VPU/convert bytes of the
+        # normalize pass, at the cost of one bf16 rounding of (x-mean)*rstd.
+        y = x * a[:, None, :].astype(x.dtype) + b[:, None, :].astype(x.dtype)
+    else:
+        y = x.astype(jnp.float32) * a[:, None, :] + b[:, None, :]
+        # cast BEFORE the activation: the activation then runs in the compute
+        # dtype (bf16 on TPU) — half the VPU bytes, and exactly the unfused
+        # GN->silu numerics
+        y = y.astype(x.dtype)
     if act == "silu":
         y = jax.nn.silu(y)
     return y
@@ -190,10 +204,15 @@ def group_norm_cat_act(
 
     outs = []
     off = 0
+    in_dtype = _affine_in_dtype()
     for p, shape in zip(x3s, shapes):
         cp = p.shape[-1]
-        y = (p.astype(jnp.float32) * a[:, None, off:off + cp]
-             + b[:, None, off:off + cp]).astype(p.dtype)
+        if in_dtype and p.dtype != jnp.float32:
+            y = (p * a[:, None, off:off + cp].astype(p.dtype)
+                 + b[:, None, off:off + cp].astype(p.dtype))
+        else:
+            y = (p.astype(jnp.float32) * a[:, None, off:off + cp]
+                 + b[:, None, off:off + cp]).astype(p.dtype)
         if act == "silu":
             y = jax.nn.silu(y)
         outs.append(y.reshape(shape))
