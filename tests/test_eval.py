@@ -91,14 +91,22 @@ def test_inception_metrics_formula():
 
 
 def test_clip_scores_match_torch_cosine():
-    torch = pytest.importorskip("torch")
+    from golden_oracle import oracle
+
     rng = np.random.RandomState(2)
     a = rng.randn(10, 32).astype(np.float32)
     b = rng.randn(10, 32).astype(np.float32)
     ours = clip_score(a, b)
-    an = torch.nn.functional.normalize(torch.from_numpy(a), dim=-1)
-    bn = torch.nn.functional.normalize(torch.from_numpy(b), dim=-1)
-    ref = (100 * torch.nn.functional.cosine_similarity(an, bn)).mean().item()
+
+    def compute():
+        import torch
+
+        an = torch.nn.functional.normalize(torch.from_numpy(a), dim=-1)
+        bn = torch.nn.functional.normalize(torch.from_numpy(b), dim=-1)
+        r = (100 * torch.nn.functional.cosine_similarity(an, bn)).mean().item()
+        return {"ref": np.float64(r)}
+
+    ref = float(oracle("metric_clip_cosine", compute)["ref"])
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
     np.testing.assert_allclose(clip_image_score(a, b), ref, rtol=1e-5)
     np.testing.assert_allclose(personalization_sim(a, b), ref, rtol=1e-5)
@@ -146,48 +154,59 @@ def test_compat_forward_shapes_and_pair_invariance():
 
 
 def test_compat_torch_parity():
-    """Import weights from an equivalent torch module; outputs must match."""
-    torch = pytest.importorskip("torch")
-    nn_ = torch.nn
+    """Import weights from an equivalent torch module; outputs must match.
+    The torch module is the WEIGHT SOURCE here, so the fixture stores both the
+    state dict and the reference outputs (golden_oracle, VERDICT r4 #3)."""
+    from golden_oracle import oracle
 
-    class TorchEvaluator(nn_.Module):
-        def __init__(self, d):
-            super().__init__()
-            self.feat_layer = nn_.Linear(d, 1024)
-            self.emb_layer = nn_.Sequential(
-                nn_.Linear(2048, 512), nn_.LayerNorm(512), nn_.ReLU(), nn_.Dropout(0.35),
-                nn_.Linear(512, 512), nn_.LayerNorm(512), nn_.ReLU(), nn_.Dropout(0.35),
-                nn_.Linear(512, 256), nn_.LayerNorm(256), nn_.ReLU(), nn_.Dropout(0.35),
-                nn_.Linear(256, 256), nn_.LayerNorm(256), nn_.ReLU(), nn_.Dropout(0.35),
-            )
-            self.eval_layer = nn_.Sequential(
-                nn_.Linear(256, 128), nn_.LayerNorm(128), nn_.ReLU(), nn_.Dropout(0.35),
-                nn_.Linear(128, 128), nn_.LayerNorm(128), nn_.ReLU(), nn_.Dropout(0.35),
-                nn_.Linear(128, 32), nn_.LayerNorm(32), nn_.ReLU(), nn_.Dropout(0.35),
-                nn_.Linear(32, 1),
-            )
+    x = np.random.RandomState(5).randn(3, 4, 64).astype(np.float32)
 
-        def forward(self, feats):
-            import numpy as _np
-            from itertools import combinations
+    def compute():
+        import torch
 
-            combs = [list(c) for c in combinations(range(feats.shape[1]), 2)]
-            o_embs = []
-            for o in feats:
-                f = self.feat_layer(o)
-                cf = torch.stack([f[c].reshape(-1) for c in combs])
-                o_embs.append(self.emb_layer(cf).mean(dim=0))
-            return self.eval_layer(torch.stack(o_embs)).view(-1)
+        nn_ = torch.nn
 
-    tm = TorchEvaluator(64).eval()
-    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        class TorchEvaluator(nn_.Module):
+            def __init__(self, d):
+                super().__init__()
+                self.feat_layer = nn_.Linear(d, 1024)
+                self.emb_layer = nn_.Sequential(
+                    nn_.Linear(2048, 512), nn_.LayerNorm(512), nn_.ReLU(), nn_.Dropout(0.35),
+                    nn_.Linear(512, 512), nn_.LayerNorm(512), nn_.ReLU(), nn_.Dropout(0.35),
+                    nn_.Linear(512, 256), nn_.LayerNorm(256), nn_.ReLU(), nn_.Dropout(0.35),
+                    nn_.Linear(256, 256), nn_.LayerNorm(256), nn_.ReLU(), nn_.Dropout(0.35),
+                )
+                self.eval_layer = nn_.Sequential(
+                    nn_.Linear(256, 128), nn_.LayerNorm(128), nn_.ReLU(), nn_.Dropout(0.35),
+                    nn_.Linear(128, 128), nn_.LayerNorm(128), nn_.ReLU(), nn_.Dropout(0.35),
+                    nn_.Linear(128, 32), nn_.LayerNorm(32), nn_.ReLU(), nn_.Dropout(0.35),
+                    nn_.Linear(32, 1),
+                )
+
+            def forward(self, feats):
+                from itertools import combinations
+
+                combs = [list(c) for c in combinations(range(feats.shape[1]), 2)]
+                o_embs = []
+                for o in feats:
+                    f = self.feat_layer(o)
+                    cf = torch.stack([f[c].reshape(-1) for c in combs])
+                    o_embs.append(self.emb_layer(cf).mean(dim=0))
+                return self.eval_layer(torch.stack(o_embs)).view(-1)
+
+        torch.manual_seed(13)
+        tm = TorchEvaluator(64).eval()
+        out = {"sd." + k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        with torch.no_grad():
+            out["ref"] = tm(torch.from_numpy(x)).numpy()
+        return out
+
+    fix = oracle("compat_evaluator", compute)
+    sd = {k[3:]: v for k, v in fix.items() if k.startswith("sd.")}
     model, template = init_fashion_evaluator(64, jax.random.PRNGKey(2))
     params = import_compat_params(template, sd)
-    x = np.random.RandomState(5).randn(3, 4, 64).astype(np.float32)
     ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
-    with torch.no_grad():
-        ref = tm(torch.from_numpy(x)).numpy()
-    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ours, fix["ref"], rtol=1e-4, atol=1e-4)
 
 
 def test_gather_outfit_feats_pointer_convention():

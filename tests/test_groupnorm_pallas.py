@@ -31,7 +31,8 @@ def test_kernel_matches_reference(shape, groups, act):
 
 
 def test_kernel_matches_torch_groupnorm():
-    torch = pytest.importorskip("torch")
+    from golden_oracle import oracle
+
     rng = np.random.RandomState(1)
     B, H, W, C, G = 2, 6, 6, 64, 8
     x = rng.randn(B, H, W, C).astype(np.float32)
@@ -39,16 +40,21 @@ def test_kernel_matches_torch_groupnorm():
     b = rng.randn(C).astype(np.float32)
     got = group_norm_act(jnp.asarray(x), jnp.asarray(s), jnp.asarray(b),
                          groups=G, eps=1e-5, act="silu", interpret=True)
-    gn = torch.nn.GroupNorm(G, C, eps=1e-5)
-    with torch.no_grad():
-        gn.weight.copy_(torch.from_numpy(s))
-        gn.bias.copy_(torch.from_numpy(b))
-        ref = torch.nn.functional.silu(
-            gn(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
-        ).numpy()
-    np.testing.assert_allclose(
-        np.asarray(got), np.moveaxis(ref, 1, -1), atol=1e-5, rtol=1e-5
-    )
+
+    def compute():
+        import torch
+
+        gn = torch.nn.GroupNorm(G, C, eps=1e-5)
+        with torch.no_grad():
+            gn.weight.copy_(torch.from_numpy(s))
+            gn.bias.copy_(torch.from_numpy(b))
+            ref = torch.nn.functional.silu(
+                gn(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+            ).numpy()
+        return {"ref": np.moveaxis(ref, 1, -1)}
+
+    ref = oracle("prim_pallas_gn_silu", compute)["ref"]
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-5)
 
 
 def test_bf16_path_and_fp32_stats():

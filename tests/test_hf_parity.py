@@ -1,35 +1,55 @@
 """End-to-end parity against REAL HuggingFace modules (random-init, no downloads).
 
-transformers is installed in this image, so the text-encoder port + importer can be
-validated against the genuine `CLIPTextModel` implementation — the same class the
-reference loads pretrained (`/root/reference/DiFashion/models/difashion.py:70-72`).
-If the state-dict import + our flax forward reproduce HF's hidden states on random
-weights, they will on SD2's pretrained weights too.
-"""
+The text-encoder port + importer are validated against the genuine `CLIPTextModel`
+implementation — the same class the reference loads pretrained
+(`/root/reference/DiFashion/models/difashion.py:70-72`). If the state-dict import +
+our flax forward reproduce HF's hidden states on random weights, they will on SD2's
+pretrained weights too.
+
+The HF modules are the WEIGHT SOURCE here, so the committed fixtures
+(tests/golden/torch_oracles/*.npz, via golden_oracle.oracle) store both the HF
+state dict and the reference outputs — the import+forward parity assertion runs
+even in images without torch/transformers (VERDICT r4 #3)."""
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
 
-transformers = pytest.importorskip("transformers")
-torch = pytest.importorskip("torch")
-
 from difashion_tpu.core.config import CLIPTextConfig
 from difashion_tpu.core.importer import import_params
 from difashion_tpu.models.clip_text import CLIPTextEncoder
 
+from golden_oracle import oracle
 
-def _build_pair(hidden_act="gelu", layers=2, hidden=64, heads=4, inter=128,
-                vocab=1000):
-    hf_cfg = transformers.CLIPTextConfig(
-        vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
-        num_hidden_layers=layers, num_attention_heads=heads,
-        max_position_embeddings=77, hidden_act=hidden_act,
-    )
-    hf = transformers.CLIPTextModel(hf_cfg).eval()
-    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
 
+def _hf_text_fixture(name, *, hidden_act="gelu", layers=2, hidden=64, heads=4,
+                     inter=128, vocab=1000, ids=None):
+    def compute():
+        import torch
+
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.CLIPTextConfig(
+            vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
+            num_hidden_layers=layers, num_attention_heads=heads,
+            max_position_embeddings=77, hidden_act=hidden_act,
+        )
+        torch.manual_seed(17)
+        hf = transformers.CLIPTextModel(hf_cfg).eval()
+        out = {"sd." + k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        with torch.no_grad():
+            out["ref"] = hf(
+                input_ids=torch.from_numpy(ids)
+            ).last_hidden_state.numpy()
+        return out
+
+    fix = oracle(name, compute)
+    sd = {k[3:]: v for k, v in fix.items() if k.startswith("sd.")}
+    return sd, fix["ref"]
+
+
+def _our_text(sd, *, hidden_act="gelu", layers=2, hidden=64, heads=4, inter=128,
+              vocab=1000):
     ours_cfg = CLIPTextConfig(
         vocab_size=vocab, hidden_size=hidden, intermediate_size=inter,
         num_layers=layers, num_heads=heads, hidden_act=hidden_act,
@@ -41,40 +61,34 @@ def _build_pair(hidden_act="gelu", layers=2, hidden=64, heads=4, inter=128,
     # positional ids buffer and projection heads may exist in the HF dict but not
     # in ours; OUR tree must be fully covered:
     assert not missing, missing
-    return hf, model, params
+    return model, params
 
 
 @pytest.mark.parametrize("act", ["gelu", "quick_gelu"])
 def test_clip_text_matches_hf(act):
-    hf, model, params = _build_pair(hidden_act=act)
     rng = np.random.RandomState(0)
     ids = rng.randint(1, 1000, size=(3, 77)).astype(np.int64)
     ids[:, 0] = 49406 % 1000
 
-    with torch.no_grad():
-        ref = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+    sd, ref = _hf_text_fixture(f"hf_clip_text_{act}", hidden_act=act, ids=ids)
+    model, params = _our_text(sd, hidden_act=act)
     ours = np.asarray(model.apply({"params": params}, jnp.asarray(ids, jnp.int32)))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 
 
 def test_clip_text_matches_hf_sd2_shape():
     """A slice of the true SD2 text-tower geometry (1024 wide, 16 heads)."""
-    hf, model, params = _build_pair(hidden=128, heads=16, inter=512, layers=3)
     rng = np.random.RandomState(1)
     ids = rng.randint(1, 1000, size=(2, 77)).astype(np.int64)
-    with torch.no_grad():
-        ref = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+    kw = dict(hidden=128, heads=16, inter=512, layers=3)
+    sd, ref = _hf_text_fixture("hf_clip_text_sd2_shape", ids=ids, **kw)
+    model, params = _our_text(sd, **kw)
     ours = np.asarray(model.apply({"params": params}, jnp.asarray(ids, jnp.int32)))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 
 
-def test_bpe_tokenizer_matches_hf_clip_tokenizer(tmp_path):
-    """Our clean-room BPE == transformers.CLIPTokenizer on identical vocab/merges."""
-    import json
-
-    from difashion_tpu.data.tokenizer import CLIPBPETokenizer, bytes_to_unicode
-
-    # small real-ish vocab: single characters + a few merges + specials
+def _toy_vocab():
+    """Small real-ish vocab: single characters + a few merges + specials."""
     chars = list("abcdefghijklmnopqrstuvwxyz0123456789.,!")
     vocab = {}
     for ch in chars:
@@ -88,27 +102,46 @@ def test_bpe_tokenizer_matches_hf_clip_tokenizer(tmp_path):
             vocab[tok] = len(vocab)
     vocab["<|startoftext|>"] = len(vocab)
     vocab["<|endoftext|>"] = len(vocab)
+    return vocab, merges
+
+
+TOKENIZER_TEXTS = [
+    "a photo of a hat, the best!",
+    "THE HAT of a photo",
+    "  doubled   spaces  and, punctuation!! ",
+    "photo photo photo",
+]
+
+
+def test_bpe_tokenizer_matches_hf_clip_tokenizer(tmp_path):
+    """Our clean-room BPE == transformers.CLIPTokenizer on identical vocab/merges."""
+    import json
+
+    from difashion_tpu.data.tokenizer import CLIPBPETokenizer
+
+    vocab, merges = _toy_vocab()
     vp = tmp_path / "vocab.json"
     mp = tmp_path / "merges.txt"
     vp.write_text(json.dumps(vocab))
     mp.write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
 
-    hf = transformers.CLIPTokenizer(str(vp), str(mp))
+    def compute():
+        transformers = pytest.importorskip("transformers")
+        hf = transformers.CLIPTokenizer(str(vp), str(mp))
+        out = {}
+        for i, text in enumerate(TOKENIZER_TEXTS):
+            out[f"ref_{i}"] = np.asarray(hf(
+                text, max_length=77, padding="max_length", truncation=True
+            )["input_ids"])
+        return out
+
+    fix = oracle("hf_clip_tokenizer_ids", compute)
     ours = CLIPBPETokenizer(str(vp), str(mp), pad_token_id=0)
 
-    texts = [
-        "a photo of a hat, the best!",
-        "THE HAT of a photo",
-        "  doubled   spaces  and, punctuation!! ",
-        "photo photo photo",
-    ]
-    for text in texts:
-        ref = hf(text, max_length=77, padding="max_length", truncation=True)[
-            "input_ids"
-        ]
+    for i, text in enumerate(TOKENIZER_TEXTS):
+        ref = fix[f"ref_{i}"]
         got = ours([text], max_length=77)[0]
         # compare the content tokens (HF pads with eos for this ctor)
-        ref = np.asarray(ref)
         end = np.where(ref == vocab["<|endoftext|>"])[0][0]
         np.testing.assert_array_equal(got[: end + 1], ref[: end + 1]), text
 
@@ -118,17 +151,33 @@ def test_clip_vision_matches_hf():
     weights (separate q/k/v projections fused into in_proj), up to the projection
     (HF pooler_output == our pre-projection pooled feature)."""
     from difashion_tpu.eval.models.open_clip_vit import (
-        CLIPImageEncoder,
         ViTConfig,
         init_clip_image,
     )
 
-    hf_cfg = transformers.CLIPVisionConfig(
-        hidden_size=64, intermediate_size=256, num_hidden_layers=2,
-        num_attention_heads=4, image_size=28, patch_size=14, hidden_act="gelu",
-    )
-    hf = transformers.CLIPVisionModel(hf_cfg).eval()
-    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    rng = np.random.RandomState(2)
+    imgs = rng.randn(2, 28, 28, 3).astype(np.float32) * 0.5
+
+    def compute():
+        import torch
+
+        transformers = pytest.importorskip("transformers")
+        hf_cfg = transformers.CLIPVisionConfig(
+            hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=4, image_size=28, patch_size=14,
+            hidden_act="gelu",
+        )
+        torch.manual_seed(23)
+        hf = transformers.CLIPVisionModel(hf_cfg).eval()
+        out = {"sd." + k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        with torch.no_grad():
+            out["ref"] = hf(
+                pixel_values=torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
+            ).pooler_output.numpy()
+        return out
+
+    fix = oracle("hf_clip_vision", compute)
+    sd = {k[3:]: v for k, v in fix.items() if k.startswith("sd.")}
 
     cfg = ViTConfig(image_size=28, patch_size=14, width=64, layers=2, heads=4,
                     embed_dim=64)
@@ -169,11 +218,5 @@ def test_clip_vision_matches_hf():
         b["c_proj"]["kernel"] = sd[q + "mlp.fc2.weight"].T
         b["c_proj"]["bias"] = sd[q + "mlp.fc2.bias"]
 
-    rng = np.random.RandomState(2)
-    imgs = rng.randn(2, 28, 28, 3).astype(np.float32) * 0.5
-    with torch.no_grad():
-        ref = hf(
-            pixel_values=torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
-        ).pooler_output.numpy()
     ours = np.asarray(model.apply({"params": params}, jnp.asarray(imgs)))
-    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(ours, fix["ref"], rtol=3e-4, atol=3e-5)

@@ -3,7 +3,9 @@
 SURVEY.md hard part #3: port fidelity hinges on conv padding/stride semantics, GroupNorm
 epsilon/ordering, LayerNorm, attention math, GEGLU, and the CLIP encoder layer. Each test
 builds the torch op with the SAME weights (via the importer's layout rules) and checks
-<= 1e-4 in fp32.
+<= 1e-4 in fp32. Torch references are cached as committed fixtures
+(tests/golden/torch_oracles/*.npz) via golden_oracle.oracle so the assertions run in
+torch-free images too (VERDICT r4 #3); regenerate with DIFASHION_REGEN_GOLDEN=1.
 """
 import math
 
@@ -11,8 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-
-torch = pytest.importorskip("torch")
 
 from difashion_tpu.nn.attention import CrossAttention, sdpa
 from difashion_tpu.nn.layers import (
@@ -25,17 +25,11 @@ from difashion_tpu.nn.layers import (
     get_timestep_embedding,
 )
 
-
-def _t(x):
-    return torch.from_numpy(np.asarray(x))
+from golden_oracle import oracle
 
 
-def _nchw(x):
-    return torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2).contiguous()
-
-
-def _to_nhwc(x):
-    return x.detach().permute(0, 2, 3, 1).numpy()
+def _np(p):
+    return np.asarray(p)
 
 
 @pytest.mark.parametrize("stride,k", [(1, 3), (1, 1), (2, 3)])
@@ -46,12 +40,20 @@ def test_conv2d_matches_torch(stride, k):
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
     out = m.apply({"params": params}, jnp.asarray(x))
 
-    w = np.transpose(np.asarray(params["Conv_0"]["kernel"]), (3, 2, 0, 1))
-    conv = torch.nn.Conv2d(4, 6, k, stride=stride, padding=(k - 1) // 2)
-    with torch.no_grad():
-        conv.weight.copy_(_t(w))
-        conv.bias.copy_(_t(np.asarray(params["Conv_0"]["bias"])))
-    ref = _to_nhwc(conv(_nchw(x)))
+    w = np.transpose(_np(params["Conv_0"]["kernel"]), (3, 2, 0, 1))
+    b = _np(params["Conv_0"]["bias"])
+
+    def compute():
+        import torch
+
+        conv = torch.nn.Conv2d(4, 6, k, stride=stride, padding=(k - 1) // 2)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(w))
+            conv.bias.copy_(torch.from_numpy(b))
+            ref = conv(torch.from_numpy(x).permute(0, 3, 1, 2))
+        return {"ref": ref.permute(0, 2, 3, 1).numpy()}
+
+    ref = oracle(f"prim_conv2d_s{stride}_k{k}", compute)["ref"]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
@@ -64,13 +66,23 @@ def test_downsample_asymmetric_padding():
     out = m.apply({"params": params}, jnp.asarray(x))
     assert out.shape == (1, 4, 4, 4)
 
-    w = np.transpose(np.asarray(params["conv"]["Conv_0"]["kernel"]), (3, 2, 0, 1))
-    conv = torch.nn.Conv2d(4, 4, 3, stride=2, padding=0)
-    with torch.no_grad():
-        conv.weight.copy_(_t(w))
-        conv.bias.copy_(_t(np.asarray(params["conv"]["Conv_0"]["bias"])))
-    xt = torch.nn.functional.pad(_nchw(x), (0, 1, 0, 1))
-    ref = _to_nhwc(conv(xt))
+    w = np.transpose(_np(params["conv"]["Conv_0"]["kernel"]), (3, 2, 0, 1))
+    b = _np(params["conv"]["Conv_0"]["bias"])
+
+    def compute():
+        import torch
+
+        conv = torch.nn.Conv2d(4, 4, 3, stride=2, padding=0)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(w))
+            conv.bias.copy_(torch.from_numpy(b))
+            xt = torch.nn.functional.pad(
+                torch.from_numpy(x).permute(0, 3, 1, 2), (0, 1, 0, 1)
+            )
+            ref = conv(xt)
+        return {"ref": ref.permute(0, 2, 3, 1).numpy()}
+
+    ref = oracle("prim_downsample", compute)["ref"]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
@@ -81,13 +93,24 @@ def test_upsample_nearest():
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
     out = m.apply({"params": params}, jnp.asarray(x))
 
-    w = np.transpose(np.asarray(params["conv"]["Conv_0"]["kernel"]), (3, 2, 0, 1))
-    conv = torch.nn.Conv2d(4, 4, 3, padding=1)
-    with torch.no_grad():
-        conv.weight.copy_(_t(w))
-        conv.bias.copy_(_t(np.asarray(params["conv"]["Conv_0"]["bias"])))
-    xt = torch.nn.functional.interpolate(_nchw(x), scale_factor=2, mode="nearest")
-    ref = _to_nhwc(conv(xt))
+    w = np.transpose(_np(params["conv"]["Conv_0"]["kernel"]), (3, 2, 0, 1))
+    b = _np(params["conv"]["Conv_0"]["bias"])
+
+    def compute():
+        import torch
+
+        conv = torch.nn.Conv2d(4, 4, 3, padding=1)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(w))
+            conv.bias.copy_(torch.from_numpy(b))
+            xt = torch.nn.functional.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2,
+                mode="nearest",
+            )
+            ref = conv(xt)
+        return {"ref": ref.permute(0, 2, 3, 1).numpy()}
+
+    ref = oracle("prim_upsample", compute)["ref"]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
@@ -99,11 +122,20 @@ def test_groupnorm_matches_torch(eps):
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
     out = m.apply({"params": params}, jnp.asarray(x))
 
-    gn = torch.nn.GroupNorm(4, 8, eps=eps)
-    with torch.no_grad():
-        gn.weight.copy_(_t(np.asarray(params["GroupNorm_0"]["scale"])))
-        gn.bias.copy_(_t(np.asarray(params["GroupNorm_0"]["bias"])))
-    ref = _to_nhwc(gn(_nchw(x)))
+    scale = _np(params["GroupNorm_0"]["scale"])
+    bias = _np(params["GroupNorm_0"]["bias"])
+
+    def compute():
+        import torch
+
+        gn = torch.nn.GroupNorm(4, 8, eps=eps)
+        with torch.no_grad():
+            gn.weight.copy_(torch.from_numpy(scale))
+            gn.bias.copy_(torch.from_numpy(bias))
+            ref = gn(torch.from_numpy(x).permute(0, 3, 1, 2))
+        return {"ref": ref.permute(0, 2, 3, 1).numpy()}
+
+    ref = oracle(f"prim_groupnorm_{eps}", compute)["ref"]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
@@ -114,12 +146,19 @@ def test_geglu_matches_torch():
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
     out = m.apply({"params": params}, jnp.asarray(x))
 
-    w = np.asarray(params["proj"]["kernel"]).T
-    b = np.asarray(params["proj"]["bias"])
-    xt = _t(x)
-    proj = torch.nn.functional.linear(xt, _t(w), _t(b))
-    h, gate = proj.chunk(2, dim=-1)
-    ref = (h * torch.nn.functional.gelu(gate)).numpy()
+    w = _np(params["proj"]["kernel"]).T.copy()
+    b = _np(params["proj"]["bias"])
+
+    def compute():
+        import torch
+
+        proj = torch.nn.functional.linear(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b)
+        )
+        h, gate = proj.chunk(2, dim=-1)
+        return {"ref": (h * torch.nn.functional.gelu(gate)).numpy()}
+
+    ref = oracle("prim_geglu", compute)["ref"]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
@@ -129,8 +168,17 @@ def test_sdpa_matches_torch():
     k = rng.randn(2, 3, 12, 8).astype(np.float32)
     v = rng.randn(2, 3, 12, 8).astype(np.float32)
     out = sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), use_flash=False)
-    ref = torch.nn.functional.scaled_dot_product_attention(_t(q), _t(k), _t(v))
-    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+    def compute():
+        import torch
+
+        ref = torch.nn.functional.scaled_dot_product_attention(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+        )
+        return {"ref": ref.numpy()}
+
+    ref = oracle("prim_sdpa", compute)["ref"]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
 def test_cross_attention_matches_torch_mha():
@@ -142,21 +190,34 @@ def test_cross_attention_matches_torch_mha():
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx))["params"]
     out = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(ctx))
 
-    def lin(name, inp, bias=True):
-        w = _t(np.asarray(params[name]["kernel"]).T)
-        b = _t(np.asarray(params[name]["bias"])) if bias else None
-        return torch.nn.functional.linear(inp, w, b)
+    wts = {
+        name: (_np(params[name]["kernel"]).T.copy(),
+               _np(params[name]["bias"]) if "bias" in params[name] else None)
+        for name in ("to_q", "to_k", "to_v", "to_out_0")
+    }
 
-    q = lin("to_q", _t(x), bias=False)
-    k = lin("to_k", _t(ctx), bias=False)
-    v = lin("to_v", _t(ctx), bias=False)
-    B, S, _ = q.shape
-    q = q.view(B, S, 2, 8).transpose(1, 2)
-    k = k.view(B, 7, 2, 8).transpose(1, 2)
-    v = v.view(B, 7, 2, 8).transpose(1, 2)
-    o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
-    o = o.transpose(1, 2).reshape(B, S, 16)
-    ref = lin("to_out_0", o).numpy()
+    def compute():
+        import torch
+
+        def lin(name, inp):
+            w, b = wts[name]
+            return torch.nn.functional.linear(
+                inp, torch.from_numpy(w),
+                torch.from_numpy(b) if b is not None else None,
+            )
+
+        q = lin("to_q", torch.from_numpy(x))
+        k = lin("to_k", torch.from_numpy(ctx))
+        v = lin("to_v", torch.from_numpy(ctx))
+        B, S, _ = q.shape
+        q = q.view(B, S, 2, 8).transpose(1, 2)
+        k = k.view(B, 7, 2, 8).transpose(1, 2)
+        v = v.view(B, 7, 2, 8).transpose(1, 2)
+        o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(B, S, 16)
+        return {"ref": lin("to_out_0", o).numpy()}
+
+    ref = oracle("prim_cross_attention", compute)["ref"]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
@@ -169,29 +230,49 @@ def test_resnet_block_matches_torch_composition():
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(temb))["params"]
     out = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(temb))
 
-    def conv(name, inp, k=3):
-        w = _t(np.transpose(np.asarray(params[name]["Conv_0"]["kernel"]), (3, 2, 0, 1)))
-        b = _t(np.asarray(params[name]["Conv_0"]["bias"]))
-        return torch.nn.functional.conv2d(inp, w, b, padding=(k - 1) // 2)
+    convs = {
+        name: (np.transpose(_np(params[name]["Conv_0"]["kernel"]), (3, 2, 0, 1)),
+               _np(params[name]["Conv_0"]["bias"]))
+        for name in ("conv1", "conv2", "conv_shortcut")
+    }
+    gns = {
+        name: (_np(params[name]["GroupNorm_0"]["scale"]),
+               _np(params[name]["GroupNorm_0"]["bias"]))
+        for name in ("norm1", "norm2")
+    }
+    tw = _np(params["time_emb_proj"]["kernel"]).T.copy()
+    tb = _np(params["time_emb_proj"]["bias"])
 
-    def gn(name, inp, ch):
-        w = _t(np.asarray(params[name]["GroupNorm_0"]["scale"]))
-        b = _t(np.asarray(params[name]["GroupNorm_0"]["bias"]))
-        return torch.nn.functional.group_norm(inp, 4, w, b, eps=1e-5)
+    def compute():
+        import torch
 
-    xt = _nchw(x)
-    h = torch.nn.functional.silu(gn("norm1", xt, 8))
-    h = conv("conv1", h)
-    tp = torch.nn.functional.linear(
-        torch.nn.functional.silu(_t(temb)),
-        _t(np.asarray(params["time_emb_proj"]["kernel"]).T),
-        _t(np.asarray(params["time_emb_proj"]["bias"])),
-    )
-    h = h + tp[:, :, None, None]
-    h = torch.nn.functional.silu(gn("norm2", h, 12))
-    h = conv("conv2", h)
-    sc = conv("conv_shortcut", xt, k=1)
-    ref = _to_nhwc(sc + h)
+        def conv(name, inp, k=3):
+            w, b = convs[name]
+            return torch.nn.functional.conv2d(
+                inp, torch.from_numpy(w), torch.from_numpy(b),
+                padding=(k - 1) // 2,
+            )
+
+        def gn(name, inp):
+            w, b = gns[name]
+            return torch.nn.functional.group_norm(
+                inp, 4, torch.from_numpy(w), torch.from_numpy(b), eps=1e-5
+            )
+
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        h = torch.nn.functional.silu(gn("norm1", xt))
+        h = conv("conv1", h)
+        tp = torch.nn.functional.linear(
+            torch.nn.functional.silu(torch.from_numpy(temb)),
+            torch.from_numpy(tw), torch.from_numpy(tb),
+        )
+        h = h + tp[:, :, None, None]
+        h = torch.nn.functional.silu(gn("norm2", h))
+        h = conv("conv2", h)
+        sc = conv("conv_shortcut", xt, k=1)
+        return {"ref": (sc + h).permute(0, 2, 3, 1).numpy()}
+
+    ref = oracle("prim_resnet_block", compute)["ref"]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
@@ -208,10 +289,11 @@ def test_timestep_embedding_matches_torch_formula():
 
 
 def test_leaky_relu_slope_matches_torch():
-    """MutualEncoder uses LeakyReLU with torch's default slope 0.01."""
+    """MutualEncoder uses LeakyReLU with torch's default slope 0.01 (closed form
+    — no torch needed)."""
     x = np.linspace(-2, 2, 9).astype(np.float32)
     ours = np.asarray(jax.nn.leaky_relu(jnp.asarray(x), negative_slope=0.01))
-    ref = torch.nn.functional.leaky_relu(_t(x), 0.01).numpy()
+    ref = np.where(x >= 0, x, 0.01 * x)
     np.testing.assert_allclose(ours, ref, rtol=1e-6)
 
 
@@ -228,39 +310,59 @@ def test_clip_layer_matches_torch_composition():
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), causal)["params"]
     out = m.apply({"params": params}, jnp.asarray(x), causal)
 
-    def lin(path, inp):
+    def getp(path):
         p = params
         for s in path.split("/"):
             p = p[s]
-        return torch.nn.functional.linear(
-            inp, _t(np.asarray(p["kernel"]).T), _t(np.asarray(p["bias"]))
-        )
+        return p
 
-    def ln(name, inp):
-        p = params[name]
-        return torch.nn.functional.layer_norm(
-            inp, (cfg.hidden_size,), _t(np.asarray(p["scale"])),
-            _t(np.asarray(p["bias"])), eps=cfg.layer_norm_eps,
-        )
+    lins = {
+        path: (_np(getp(path)["kernel"]).T.copy(), _np(getp(path)["bias"]))
+        for path in ("self_attn/q_proj", "self_attn/k_proj", "self_attn/v_proj",
+                     "self_attn/out_proj", "fc1", "fc2")
+    }
+    lns = {
+        name: (_np(params[name]["scale"]), _np(params[name]["bias"]))
+        for name in ("layer_norm1", "layer_norm2")
+    }
+    hidden, heads, eps = cfg.hidden_size, cfg.num_heads, cfg.layer_norm_eps
 
-    xt = _t(x)
-    h = ln("layer_norm1", xt)
-    hd = cfg.hidden_size // cfg.num_heads
-    q = lin("self_attn/q_proj", h) * hd ** -0.5
-    k = lin("self_attn/k_proj", h)
-    v = lin("self_attn/v_proj", h)
-    B, S, _ = q.shape
-    sh = lambda z: z.view(B, S, cfg.num_heads, hd).transpose(1, 2)
-    logits = sh(q) @ sh(k).transpose(-1, -2)
-    mask = torch.tril(torch.ones(S, S, dtype=torch.bool))
-    logits = logits.masked_fill(~mask, torch.finfo(torch.float32).min)
-    attn = torch.softmax(logits, dim=-1) @ sh(v)
-    attn = attn.transpose(1, 2).reshape(B, S, cfg.hidden_size)
-    xt = xt + lin("self_attn/out_proj", attn)
-    h = ln("layer_norm2", xt)
-    h = lin("fc1", h)
-    h = torch.nn.functional.gelu(h)
-    ref = (xt + lin("fc2", h)).numpy()
+    def compute():
+        import torch
+
+        def lin(path, inp):
+            w, b = lins[path]
+            return torch.nn.functional.linear(
+                inp, torch.from_numpy(w), torch.from_numpy(b)
+            )
+
+        def ln(name, inp):
+            w, b = lns[name]
+            return torch.nn.functional.layer_norm(
+                inp, (hidden,), torch.from_numpy(w), torch.from_numpy(b),
+                eps=eps,
+            )
+
+        xt = torch.from_numpy(x)
+        h = ln("layer_norm1", xt)
+        hd = hidden // heads
+        q = lin("self_attn/q_proj", h) * hd ** -0.5
+        k = lin("self_attn/k_proj", h)
+        v = lin("self_attn/v_proj", h)
+        B, S, _ = q.shape
+        sh = lambda z: z.view(B, S, heads, hd).transpose(1, 2)
+        logits = sh(q) @ sh(k).transpose(-1, -2)
+        mask = torch.tril(torch.ones(S, S, dtype=torch.bool))
+        logits = logits.masked_fill(~mask, torch.finfo(torch.float32).min)
+        attn = torch.softmax(logits, dim=-1) @ sh(v)
+        attn = attn.transpose(1, 2).reshape(B, S, hidden)
+        xt = xt + lin("self_attn/out_proj", attn)
+        h = ln("layer_norm2", xt)
+        h = lin("fc1", h)
+        h = torch.nn.functional.gelu(h)
+        return {"ref": (xt + lin("fc2", h)).numpy()}
+
+    ref = oracle("prim_clip_layer", compute)["ref"]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
@@ -277,10 +379,19 @@ def test_basic_transformer_block_layernorm_eps():
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ctx))["params"]
     out = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(ctx))
 
-    # torch reference for the first LN with eps=1e-5
-    ln_w = _t(np.asarray(params["norm1"]["scale"]))
-    ln_b = _t(np.asarray(params["norm1"]["bias"]))
-    ref_h = torch.nn.functional.layer_norm(_t(x), (16,), ln_w, ln_b, eps=1e-5)
+    ln_w = _np(params["norm1"]["scale"])
+    ln_b = _np(params["norm1"]["bias"])
+
+    def compute():
+        import torch
+
+        ref_h = torch.nn.functional.layer_norm(
+            torch.from_numpy(x), (16,), torch.from_numpy(ln_w),
+            torch.from_numpy(ln_b), eps=1e-5,
+        )
+        return {"ref": ref_h.numpy()}
+
+    ref_h = oracle("prim_transformer_ln_eps", compute)["ref"]
     # our internal norm1 output must match: recompute via the module path
     import flax.linen as fnn
 
@@ -289,8 +400,7 @@ def test_basic_transformer_block_layernorm_eps():
                     "bias": params["norm1"]["bias"]}},
         jnp.asarray(x),
     )
-    np.testing.assert_allclose(np.asarray(ours_h), ref_h.numpy(), rtol=1e-4,
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours_h), ref_h, rtol=1e-4, atol=1e-5)
     assert np.isfinite(np.asarray(out)).all()
 
 
@@ -302,10 +412,18 @@ def test_fid_resize_matches_torch_bilinear():
     rng = np.random.RandomState(10)
     x = rng.rand(2, 64, 48, 3).astype(np.float32)
     ours = _resize_bilinear(x, 299)
-    ref = torch.nn.functional.interpolate(
-        _nchw(x), size=(299, 299), mode="bilinear", align_corners=False
-    )
-    np.testing.assert_allclose(ours, _to_nhwc(ref), rtol=1e-4, atol=1e-5)
+
+    def compute():
+        import torch
+
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(299, 299),
+            mode="bilinear", align_corners=False,
+        )
+        return {"ref": ref.permute(0, 2, 3, 1).numpy()}
+
+    ref = oracle("prim_fid_resize", compute)["ref"]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
 def test_clip_resize_matches_pil_bicubic():
