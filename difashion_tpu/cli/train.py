@@ -126,7 +126,11 @@ def run_training(
         ndev = jax.device_count()
         dp = max(d for d in range(1, ndev + 1) if tcfg.train_batch_size % d == 0)
     mesh = make_mesh(dp)
-    jitted, place_batch, place_repl = shard_train_step(step_fn, mesh)
+    # donate_state: the loop below is the strict thread-through pattern
+    # (state is rebound every step, checkpoints snapshot to host first), so the
+    # 13 GiB full-scale state is updated in place instead of doubling per step
+    jitted, place_batch, place_repl = shard_train_step(step_fn, mesh,
+                                                       donate_state=True)
     log.info("mesh: %d devices (dp)", mesh.devices.size)
 
     store = CheckpointStore(tcfg.output_dir, tcfg.checkpoints_total_limit)

@@ -359,17 +359,30 @@ def make_mesh(dp_size: int = -1) -> Mesh:
     return Mesh(devices, ("dp",))
 
 
-def shard_train_step(train_step, mesh: Mesh):
+def shard_train_step(train_step, mesh: Mesh, donate_state: bool = False):
     """jit the train step once; DP comes from argument placement: batch sharded on
     'dp', state/conditions replicated (jit commits to input shardings, and XLA turns
     the global-mean loss gradient into a psum over ICI — the TPU-native replacement
     for DDP/NCCL allreduce).
 
+    `donate_state=True` aliases the input TrainState buffers to the output state
+    — REQUIRED at SD2-base scale: the full state (params + Adam moments + EMA,
+    13.01 GiB per engine/memory.py) otherwise exists twice during the step and
+    exceeds a 16 GiB v5e (measured: the 500-step soak OOM'd at step 1 without
+    donation while tools/bench_train.py, which donates, fit). The production
+    loop (`cli/train.py`: `state, m = jitted(state, ...)`) turns it on. It is
+    OFF by default because donation composes badly with re-used placements:
+    `place_replicated(x)` may ALIAS x's existing device buffer rather than
+    copy, so donating the placed state can delete the caller's original pytree
+    (measured: `Array has been deleted` in the ZeRO-1 equality test). Callers
+    that replay the same state, or place several variants of one state, must
+    keep it off.
+
     Returns (jitted_step, place_batch, place_replicated).
     """
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("dp"))
-    jitted = jax.jit(train_step)
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate_state else ())
 
     def place_batch(batch: TrainBatch) -> TrainBatch:
         return jax.tree_util.tree_map(

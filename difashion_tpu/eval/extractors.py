@@ -227,14 +227,23 @@ def build_extractors(
             )
         logging.getLogger("difashion_tpu").warning("%s", msg)
 
+    def _tower(model, variables):
+        # params enter jit as ARGUMENTS, not closed-over constants: closing over
+        # them bakes the weights into the lowered module (2.53 GB of captured
+        # constants for the ViT-H tower — slow lowering, doubled memory) and,
+        # as host numpy, would re-upload per call. device_put once instead.
+        variables = jax.device_put(variables)
+        jfn = jax.jit(lambda v, *xs: model.apply(v, *xs))
+        return lambda *xs: jfn(variables, *xs)
+
     return Extractors(
         random_towers=tuple(random_towers),
-        clip_image_fn=jax.jit(lambda x: clip_img.apply({"params": clip_img_params}, x)),
-        clip_text_fn=jax.jit(lambda x: clip_txt.apply({"params": clip_txt_params}, x)),
-        fid_features_fn=jax.jit(lambda x: fid_m.apply(fid_vars, x)),
-        inception_probs_fn=jax.jit(lambda x: cls_m.apply(cls_vars, x)),
-        lpips_fn=jax.jit(lambda a, b: lp_m.apply({"params": lp_params}, a, b)),
-        compat_fn=jax.jit(lambda x: cp_m.apply({"params": cp_params}, x)),
+        clip_image_fn=_tower(clip_img, {"params": clip_img_params}),
+        clip_text_fn=_tower(clip_txt, {"params": clip_txt_params}),
+        fid_features_fn=_tower(fid_m, fid_vars),
+        inception_probs_fn=_tower(cls_m, cls_vars),
+        lpips_fn=_tower(lp_m, {"params": lp_params}),
+        compat_fn=_tower(cp_m, {"params": cp_params}),
         clip_tokenizer=load_tokenizer(
             weights_dir and os.path.join(weights_dir, "tokenizer"),
             vocab_size=tcfg.vocab_size,

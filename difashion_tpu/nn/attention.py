@@ -8,6 +8,7 @@ at `:77-79`).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -21,7 +22,9 @@ Dtype = Any
 
 # Flash attention engages for self-attention sequences at or above this length and only
 # on TPU backends; XLA's fused attention handles the small cases well.
-FLASH_MIN_SEQ = 1024
+# DIFASHION_FLASH_MIN_SEQ overrides (tools/learning_proof_tpu.py lowers it so the
+# Pallas kernels sit in the LEARNED path at its mid scale).
+FLASH_MIN_SEQ = int(os.environ.get("DIFASHION_FLASH_MIN_SEQ", "1024"))
 # ... and only when KV is at least this long: for the 77-token cross-attention XLA's
 # fused softmax beats the kernel (1.9 vs 2.3 ms at the 64x64 level, tools/bench_flash.py
 # — per-grid-cell overhead dominates when each cell's MXU work is a [*, 64]x[64, 128]

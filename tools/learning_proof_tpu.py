@@ -76,7 +76,10 @@ def mid_config(out_dir: str, img: int, steps: int, inf_steps: int):
         cfg,
         train=dataclasses.replace(
             cfg.train, output_dir=out_dir, checkpointing_steps=steps // 2,
-            train_batch_size=4, learning_rate=1e-3, max_train_steps=steps,
+            # bsz 8 = full-batch over the fixture's 8 rows: maximum
+            # memorization signal per step (the r4 900-step run at bsz 4
+            # under-trained: loss windows noise-bound, FITB 0/4)
+            train_batch_size=8, learning_rate=1e-3, max_train_steps=steps,
         ),
     )
 
@@ -84,12 +87,20 @@ def mid_config(out_dir: str, img: int, steps: int, inf_steps: int):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default="/tmp/lproof")
-    p.add_argument("--steps", type=int, default=900)
+    p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--img", type=int, default=128)
     p.add_argument("--inference_steps", type=int, default=50)
     p.add_argument("--fitb_margin_gate", type=float, default=0.65)
     p.add_argument("--gor_min_correct", type=int, default=14)
     args = p.parse_args()
+
+    # Engage the Pallas flash kernels in the LEARNED path: the mid scale's
+    # self-attention runs at (img/8)^2 = 256 tokens, below the production
+    # FLASH_MIN_SEQ=1024 threshold — without this override the proof would
+    # silently train on XLA attention only (defeating its purpose). Must be set
+    # before any difashion_tpu import (read at module import).
+    os.environ.setdefault("DIFASHION_FLASH_MIN_SEQ",
+                          str((args.img // 8) ** 2))
 
     import jax
     import jax.numpy as jnp
@@ -119,9 +130,16 @@ def main():
     with open(cfg_path, "w") as f:
         f.write(cfg.to_json())
 
+    from difashion_tpu.nn.attention import FLASH_MIN_SEQ
+
+    seq = (args.img // 8) ** 2
     report = {"preset": {"img": args.img, "steps": args.steps,
                          "inference_steps": args.inference_steps,
-                         "backend": jax.default_backend()}}
+                         "backend": jax.default_backend(),
+                         "flash_min_seq": FLASH_MIN_SEQ,
+                         "flash_in_learned_path": bool(
+                             seq >= FLASH_MIN_SEQ
+                             and jax.default_backend() == "tpu")}}
 
     # ---- train in two legs (checkpoint + resume exercised), REAL CLI --------
     t0 = time.time()
@@ -133,10 +151,16 @@ def main():
     report["train_wall_s"] = round(time.time() - t0, 1)
     losses = [json.loads(l)["loss"]
               for l in open(os.path.join(ckpt, "metrics.jsonl"))]
-    report["loss_first"], report["loss_last"] = losses[0], losses[-1]
-    report["loss_fell"] = bool(losses[-1] < 0.6 * losses[0])
+    # single-step diffusion losses are timestep-lottery noise (observed r4
+    # spread 0.58..1.02 within one run); gate on window MEANS, first-k vs
+    # last-k logged windows
+    k = max(1, min(5, len(losses) // 4))
+    first, last = float(np.mean(losses[:k])), float(np.mean(losses[-k:]))
+    report["loss_first"], report["loss_last"] = first, last
+    report["loss_windows_k"] = k
+    report["loss_fell"] = bool(last < 0.6 * first)
     print(f"train: {args.steps} steps in {report['train_wall_s']}s, "
-          f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", flush=True)
+          f"loss mean[:{k}] {first:.4f} -> mean[-{k}:] {last:.4f}", flush=True)
 
     # ---- generate FITB + GOR with EMA weights, 50-step PNDM, 4-branch CFG ---
     t0 = time.time()

@@ -77,7 +77,16 @@ def main():
     p.add_argument("--kill_after_frac", type=float, default=0.7,
                    help="SIGKILL leg 2 after this fraction of its wall estimate")
     p.add_argument("--step_time_est", type=float, default=0.35)
+    p.add_argument("--artifact",
+                   default=os.path.join(REPO, "tools", "logs",
+                                        "train_soak.json"),
+                   help="artifact path (round-neutral default)")
+    p.add_argument("--fresh", action="store_true",
+                   help="clear a stale checkpoint dir from a prior attempt")
     args = p.parse_args()
+
+    if args.fresh:
+        shutil.rmtree(os.path.join(args.workdir, "ckpt"), ignore_errors=True)
 
     dpath = synth_data(args.workdir)
     ckpt = os.path.join(args.workdir, "ckpt")
@@ -164,7 +173,7 @@ def main():
     report["passed"] = bool(finite and skips == 0
                             and max(steps_seen) >= args.steps)
 
-    out = os.path.join(REPO, "tools", "logs", "train_soak_r4.json")
+    out = args.artifact
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
