@@ -28,8 +28,8 @@ FLASH_MIN_SEQ = int(os.environ.get("DIFASHION_FLASH_MIN_SEQ", "1024"))
 # ... and only when KV is at least this long: for the 77-token cross-attention XLA's
 # fused softmax beats the kernel (1.9 vs 2.3 ms at the 64x64 level, tools/bench_flash.py
 # — per-grid-cell overhead dominates when each cell's MXU work is a [*, 64]x[64, 128]
-# sliver).
-FLASH_MIN_KV = 256
+# sliver). Env-overridable for the same reason as FLASH_MIN_SEQ above.
+FLASH_MIN_KV = int(os.environ.get("DIFASHION_FLASH_MIN_KV", "256"))
 
 
 def _on_tpu() -> bool:
