@@ -301,6 +301,43 @@ def test_dp_sharded_step_matches_single_device(tiny_model):
     )
 
 
+def test_donated_step_matches_undonated(tiny_model):
+    """The production loop's donated thread-through (`cli/train.py`:
+    `state, m = jitted(state, ...)` with donate_state=True — the OOM fix for
+    the 13.01 GiB SD2-base state) must be numerically identical to the
+    undonated replay path, and its metrics must stay readable after the next
+    donated call (the loop logs m after state was re-donated)."""
+    cfg, model, params = tiny_model
+    tcfg = TrainConfig(learning_rate=1e-3, use_ema=False, use_ema_fashion=False)
+    step_fn, init_fn = build_train_step(model, tcfg)
+    batch = _train_batch(cfg, jax.random.PRNGKey(21), B=8)
+    hdim, C = cfg.unet.sample_size, cfg.vae.latent_channels
+    null_lat = jnp.zeros((hdim, hdim, C))
+    null_text = jnp.zeros((77, cfg.text.hidden_size))
+    mesh = make_mesh()
+
+    def run(donate: bool, n: int = 4):
+        jitted, place_batch, place_repl = shard_train_step(
+            step_fn, mesh, donate_state=donate)
+        # fresh device placement per run: donation deletes the input buffers,
+        # so the donated run must not share placements with anything else
+        state = place_repl(init_fn(params))
+        batch_s = place_batch(batch)
+        losses, metrics = [], []
+        for i in range(n):
+            state, m = jitted(state, batch_s, null_lat, null_text,
+                              jax.random.PRNGKey(100 + i))
+            metrics.append(m)          # read AFTER later donated calls below
+        losses = [float(m["loss"]) for m in metrics]
+        leaf = np.asarray(jax.tree_util.tree_leaves(state.params["unet"])[0])
+        return losses, leaf
+
+    losses_ref, leaf_ref = run(donate=False)
+    losses_don, leaf_don = run(donate=True)
+    np.testing.assert_allclose(losses_ref, losses_don, rtol=1e-6)
+    np.testing.assert_allclose(leaf_ref, leaf_don, rtol=1e-6, atol=1e-7)
+
+
 def test_zero1_state_sharding_matches_replicated(tiny_model):
     """ZeRO-1 placement (sharded moments + EMA) must not change the math."""
     from difashion_tpu.engine.train import place_state_zero1
