@@ -123,22 +123,41 @@ def main():
     report["leg1_wall_s"] = round(time.time() - t0, 1)
     assert os.path.exists(os.path.join(ckpt, f"checkpoint-{half}"))
 
-    # ---- leg 2: resume, then SIGKILL mid-flight (crash drill) --------------
+    # ---- leg 2: resume, then SIGKILL mid-TRAINING (crash drill) ------------
+    # A fixed-delay kill lands during the leg's silent setup phase (imports +
+    # the 14.6 GiB moments load take minutes on a 1-vCPU host — measured: a
+    # 61 s timer killed the process before it even finished importing). The
+    # drill only means something if the process dies while STEPPING, with
+    # optimizer state and checkpoint machinery live — so watch metrics.jsonl
+    # for post-resume rows (step > half) and kill a beat after they appear.
     t0 = time.time()
+    metrics_path = os.path.join(ckpt, "metrics.jsonl")
+    rows_before = sum(1 for _ in open(metrics_path)) \
+        if os.path.exists(metrics_path) else 0
     proc = subprocess.Popen(base_cmd + ["--resume_from_checkpoint", "latest"],
                             cwd=REPO)
-    # kill well into the leg but before it completes: wait for a fraction of
-    # the estimated remaining wall (compile is cached from leg 1)
-    kill_after = max(30.0, half * args.step_time_est * args.kill_after_frac)
-    try:
-        proc.wait(timeout=kill_after)
-        # finished before the kill window: crash drill degenerates — still ok,
-        # but record it
+    setup_grace = 1800.0        # max wait for stepping to resume
+    stepping_at = None
+    while time.time() - t0 < setup_grace and proc.poll() is None:
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                rows = [json.loads(l) for l in f if l.strip()]
+            if len(rows) > rows_before and rows[-1].get("step", 0) > half:
+                stepping_at = time.time()
+                break
+        time.sleep(2.0)
+    if proc.poll() is not None:
+        # finished (or died) before stepping was observed: drill degenerates —
+        # still ok, but record it
         report["leg2_killed"] = False
-    except subprocess.TimeoutExpired:
+    else:
+        if stepping_at is not None:
+            # a few more steps so the kill interrupts steady-state training
+            time.sleep(max(10.0, 5 * args.step_time_est))
         proc.send_signal(signal.SIGKILL)
         proc.wait()
         report["leg2_killed"] = True
+        report["leg2_killed_while_stepping"] = stepping_at is not None
     report["leg2_wall_s"] = round(time.time() - t0, 1)
 
     # ---- leg 3: resume latest again, run to completion ----------------------
