@@ -149,6 +149,14 @@ def run_training(
             )
         if store.latest_step() is not None:
             state = store.load(state, step)
+            # Drop the fresh-init trainable params: flax init ran eagerly on
+            # device, and this local still references that copy. At SD2-base
+            # scale the stale 3.26 GiB plus the restored 13.01 GiB state
+            # exceeds a 16 GiB chip at the first post-resume step (measured:
+            # the 500-step soak's resume leg hit RESOURCE_EXHAUSTED). load()
+            # shares the frozen leaves with the template, so rebinding to the
+            # restored pytree keeps everything encode_text needs.
+            params = state.params
             start_step = int(state.step)
             log.info("resumed from checkpoint at step %d", start_step)
 

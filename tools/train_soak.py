@@ -83,6 +83,12 @@ def main():
                    help="artifact path (round-neutral default)")
     p.add_argument("--fresh", action="store_true",
                    help="clear a stale checkpoint dir from a prior attempt")
+    p.add_argument("--skip_leg1", action="store_true",
+                   help="reuse an existing checkpoint-<steps/2> (+ its "
+                        "metrics.jsonl rows) from a prior run in the same "
+                        "workdir and go straight to the kill drill — for "
+                        "re-running legs 2/3 after a leg-3 failure without "
+                        "paying leg 1's ~25 min again")
     args = p.parse_args()
 
     if args.fresh:
@@ -117,11 +123,18 @@ def main():
               "steps": args.steps}
 
     # ---- leg 1: train to the first checkpoint ------------------------------
-    t0 = time.time()
-    r = subprocess.run(base_cmd + ["--max_train_steps", str(half)], cwd=REPO)
-    assert r.returncode == 0, "leg 1 failed"
-    report["leg1_wall_s"] = round(time.time() - t0, 1)
-    assert os.path.exists(os.path.join(ckpt, f"checkpoint-{half}"))
+    if args.skip_leg1:
+        assert os.path.exists(os.path.join(ckpt, f"checkpoint-{half}")), (
+            "--skip_leg1 needs an existing checkpoint from a prior run")
+        report["leg1_wall_s"] = None
+        report["leg1_reused"] = True
+    else:
+        t0 = time.time()
+        r = subprocess.run(base_cmd + ["--max_train_steps", str(half)],
+                           cwd=REPO)
+        assert r.returncode == 0, "leg 1 failed"
+        report["leg1_wall_s"] = round(time.time() - t0, 1)
+        assert os.path.exists(os.path.join(ckpt, f"checkpoint-{half}"))
 
     # ---- leg 2: resume, then SIGKILL mid-TRAINING (crash drill) ------------
     # A fixed-delay kill lands during the leg's silent setup phase (imports +
