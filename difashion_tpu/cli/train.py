@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -128,9 +129,13 @@ def run_training(
     mesh = make_mesh(dp)
     # donate_state: the loop below is the strict thread-through pattern
     # (state is rebound every step, checkpoints snapshot to host first), so the
-    # 13 GiB full-scale state is updated in place instead of doubling per step
+    # 13 GiB full-scale state is updated in place instead of doubling per step.
+    # DIFASHION_NO_DONATE=1 is the escape hatch (capacity permitting) if a
+    # backend's aliasing path ever misbehaves — and the A/B lever for isolating
+    # donation in training-dynamics diagnostics.
+    donate = os.environ.get("DIFASHION_NO_DONATE") != "1"
     jitted, place_batch, place_repl = shard_train_step(step_fn, mesh,
-                                                       donate_state=True)
+                                                       donate_state=donate)
     log.info("mesh: %d devices (dp)", mesh.devices.size)
 
     store = CheckpointStore(tcfg.output_dir, tcfg.checkpoints_total_limit)
@@ -195,8 +200,6 @@ def run_training(
     # built once and re-driven with the current EMA params each time. ----------
     val_pipe = None
     if validation_every > 0 and data.fitb_valid is not None:
-        import os
-
         from difashion_tpu.engine.pipeline import GenerationPipeline
 
         all_latents = (moments_mean * sf if moments_mean is not None else None)
