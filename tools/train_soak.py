@@ -149,7 +149,10 @@ def main():
         if os.path.exists(metrics_path) else 0
     proc = subprocess.Popen(base_cmd + ["--resume_from_checkpoint", "latest"],
                             cwd=REPO)
-    setup_grace = 1800.0        # max wait for stepping to resume
+    setup_grace = 3600.0        # max wait for stepping to resume (the 14.6 GiB
+    # moments load alone is ~15-25 min on a contended 1-vCPU host; measured:
+    # an 1800 s grace expired mid-setup and degraded the drill to a startup
+    # kill)
     stepping_at = None
     while time.time() - t0 < setup_grace and proc.poll() is None:
         if os.path.exists(metrics_path):
